@@ -1,0 +1,36 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated without TPU hardware by forcing the
+host platform and faking 8 devices (the idiomatic JAX approach; SURVEY.md
+section 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def dae_dir():
+    return REFERENCE / "dae"
+
+
+@pytest.fixture(scope="session")
+def apertures_dir():
+    return REFERENCE / "apertures"
+
+
+@pytest.fixture(scope="session")
+def pyramid_scene():
+    from lens_flare_tpu.scene.build import load_scene
+
+    return load_scene(REFERENCE / "dae" / "pyramid.dae")
