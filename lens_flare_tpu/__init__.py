@@ -23,3 +23,10 @@ Layout (mirrors reference layers, SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first TPU compile of the integrator is
+# tens of seconds; cache it across processes.
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lens_flare_tpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -1,0 +1,168 @@
+"""Lens-flare pipeline: sun finding, ghosts, starburst, falloff, compositing.
+
+Orchestrates the flare stages exactly as ``start_raytracing`` wires them
+(raytraced_renderer.cpp:305-311 + the per-pixel additions at
+pathtracer.cpp:881-891):
+
+1. :func:`find_sun` — scan directional lights, project ``posLight`` into
+   normalized screen coords (``find_sun_pos``, pathtracer.cpp:32-64)
+2. ghost buffer — paraxial traces (:mod:`lens_flare_tpu.lens.paraxial`) +
+   quad splats (:mod:`lens_flare_tpu.lens.ghosts`)
+3. starburst — FFT Fraunhofer field (:mod:`lens_flare_tpu.flare.starburst`)
+4. irradiance falloff glow
+5. composite: ``film + ghost + starburst + falloff`` in HDR, before gamma
+
+Gating matches the reference: ghosts need a sun on screen (axis_ray != 0);
+the starburst needs a non-empty aperture mask; the falloff glow applies
+whenever a sun is on screen, even without an aperture.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lens.aperture import ApertureTexture
+from ..lens.paraxial import trace_all_ghosts
+from ..lens.ghosts import splat_ghosts
+from ..lens.prescription import LensPrescription, reference_prescription
+from ..scene.build import LT_DIRECTIONAL
+from .starburst import aperture_fft, irradiance_falloff, starburst_field
+
+
+def find_sun(light_table, camera):
+    """Project directional lights to screen (find_sun_pos).
+
+    Returns (origins (F,2), radiances (F,3), axis_ray (2,), angle_to_sun).
+    """
+    origins, radiances = [], []
+    axis_ray = np.zeros(2)
+    angle = 0.0
+    for li in range(len(light_table.light_type)):
+        if light_table.light_type[li] != LT_DIRECTIONAL:
+            continue
+        pos_light = light_table.position[li]
+        ns_x, ns_y = camera.analyze_world_coord(pos_light)
+        if 0 <= ns_x <= 1 and 0 <= ns_y <= 1:
+            origins.append([ns_x, ns_y])
+            radiances.append(light_table.radiance[li])
+            angle = math.atan(ns_y / ns_x)  # pathtracer.cpp:50
+            axis_ray = np.array([ns_x, ns_y])
+    return (
+        np.asarray(origins, np.float32).reshape(-1, 2),
+        np.asarray(radiances, np.float32).reshape(-1, 3),
+        axis_ray,
+        angle,
+    )
+
+
+@dataclass
+class FlarePipeline:
+    width: int
+    height: int
+    flare_origins: np.ndarray  # (F, 2)
+    flare_radiances: np.ndarray  # (F, 3)
+    axis_ray: np.ndarray  # (2,)
+    angle_to_sun: float
+    aperture: ApertureTexture | None = None
+    ghost_aperture: ApertureTexture | None = None
+    lens: LensPrescription = None
+    flare_intensity: float = 0.0
+    flare_radius: float = 0.0
+    falloff_key: int = 0
+
+    @classmethod
+    def from_renderer(cls, renderer) -> "FlarePipeline | None":
+        origins, radiances, axis_ray, angle = find_sun(renderer.scene.lights, renderer.camera)
+        if len(origins) == 0:
+            return None
+        ap = (
+            ApertureTexture.load(renderer.aperture_path)
+            if renderer.aperture_path
+            else None
+        )
+        gap = (
+            ApertureTexture.load(renderer.ghost_aperture_path)
+            if renderer.ghost_aperture_path
+            else None
+        )
+        return cls(
+            width=renderer.width,
+            height=renderer.height,
+            flare_origins=origins,
+            flare_radiances=radiances,
+            axis_ray=axis_ray,
+            angle_to_sun=angle,
+            aperture=ap,
+            ghost_aperture=gap,
+            lens=reference_prescription(),
+            flare_intensity=renderer.flare_intensity,
+            flare_radius=renderer.flare_radius,
+            falloff_key=renderer.seed,
+        )
+
+    # ------------------------------------------------------------------
+
+    def ghost_buffer(self) -> jnp.ndarray:
+        """(H, W, 3) additive ghost buffer (generate_ghost_buffer)."""
+        if (
+            self.ghost_aperture is None
+            or self.ghost_aperture.total_value == 0
+            or (self.axis_ray == 0).all()
+        ):
+            return jnp.zeros((self.height, self.width, 3))
+        r1, r2 = trace_all_ghosts(self.lens, jnp.float32(self.angle_to_sun))  # (P, 3)
+        n_pairs = r1.shape[0]
+        # flatten (pair, color) -> ghosts with pure-channel colors
+        r1f = r1.reshape(-1)
+        r2f = r2.reshape(-1)
+        colors = jnp.tile(jnp.eye(3), (n_pairs, 1))
+        return splat_ghosts(
+            jnp.asarray(self.ghost_aperture.values),
+            r1f,
+            r2f,
+            colors,
+            jnp.asarray(self.axis_ray, jnp.float32),
+            self.width,
+            self.height,
+        )
+
+    def starburst(self) -> jnp.ndarray:
+        """(H, W, 3) starburst field (raytrace_starburst minus falloff)."""
+        if (
+            self.aperture is None
+            or self.aperture.total_value == 0
+            or len(self.flare_origins) == 0
+        ):
+            return jnp.zeros((self.height, self.width, 3))
+        fft_mag = aperture_fft(jnp.asarray(self.aperture.values))
+        return starburst_field(
+            fft_mag,
+            jnp.float32(self.aperture.total_value),
+            self.aperture.width,
+            jnp.asarray(self.flare_origins[0]),
+            jnp.asarray(self.flare_radiances.sum(axis=0)),
+            self.width,
+            self.height,
+            flare_intensity=self.flare_intensity,
+            flare_radius=self.flare_radius,
+        )
+
+    def falloff(self) -> jnp.ndarray:
+        if len(self.flare_origins) == 0:
+            return jnp.zeros((self.height, self.width, 3))
+        return irradiance_falloff(
+            jnp.asarray(self.flare_origins),
+            jnp.asarray(self.flare_radiances),
+            self.width,
+            self.height,
+            jax.random.PRNGKey(self.falloff_key),
+        )
+
+    def composite(self, hdr: jnp.ndarray) -> jnp.ndarray:
+        """film + ghost + starburst + falloff (pathtracer.cpp:891)."""
+        return hdr + self.ghost_buffer() + self.starburst() + self.falloff()

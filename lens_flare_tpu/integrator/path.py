@@ -1,0 +1,332 @@
+"""Wavefront path-tracing integrator.
+
+Re-design of ``PathTracer::raytrace_pixel`` / ``est_radiance_global_illumination``
+(``pathtracer.cpp:282-302, 819-899``) as a batched, jit-compiled estimator:
+
+- per-pixel recursion becomes a bounce loop carrying throughput over a ray
+  wavefront (the recursive ``at_least_one_bounce_radiance`` at
+  pathtracer.cpp:234-280, including its cpdf=0.7 Russian roulette and
+  depth-counting semantics)
+- next-event estimation mirrors ``estimate_direct_lighting_importance``
+  (pathtracer.cpp:142-213): per light, 1 sample if delta else ns_area_light,
+  normalized by the total sample count; the uniform-hemisphere variant
+  (pathtracer.cpp:86-140) is kept for the ``-H`` flag
+- adaptive sampling is the reference's batch mean/variance 95% CI early-stop
+  (pathtracer.cpp:841-870), run in lockstep batches with masked accumulation
+- RNG: counter-based ``jax.random`` key folding per (pixel, sample, site) —
+  no global Mersenne Twister state (random_util.h replaced)
+
+Note on indirect semantics (documented divergence): the reference's indirect
+accumulation uses ``bsdf->f`` (pathtracer.cpp:274), which is zero for delta
+BSDFs — but those BSDFs are unimplemented stubs there.  This integrator uses
+the sampled BSDF value from ``sample_f`` (the CS184 spec the stubs were meant
+to implement) so mirror/glass/microfacet indirect transport actually works.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.intersect import SceneArrays, intersect_rays, occluded_rays
+from ..scene.camera import CameraParams, generate_rays, generate_rays_thin_lens
+from . import envlight as envmod
+from .lights import LT_ENV, LightArrays, sample_light
+from .shading import (
+    BSDFArrays,
+    eval_f,
+    get_emission,
+    local_to_world,
+    make_coord_space,
+    sample_f,
+    world_to_local,
+)
+
+EPS_F = jnp.float32(0.00001)
+CPDF = 0.7  # russian-roulette continuation probability (pathtracer.cpp:245)
+
+
+class RenderSettings(NamedTuple):
+    """Integrator knobs, mirroring the CLI surface (main.cpp:24-39)."""
+
+    ns_aa: int = 1  # -s
+    max_ray_depth: int = 1  # -m
+    ns_area_light: int = 1  # -l
+    samples_per_batch: int = 64  # -a
+    max_tolerance: float = 0.05  # -a
+    direct_hemisphere_sample: bool = False  # -H
+    indirect: bool = True  # Part-4 indirect transport (commented out in ref)
+    use_thin_lens: bool = False  # -b/-d
+    # static light-sampling plan: tuple of light row ids, one per NEE slot
+    light_slots: tuple = ()
+    total_light_samples: int = 1
+
+
+def make_settings(light_table, ns_aa=1, max_ray_depth=1, ns_area_light=1, **kw) -> RenderSettings:
+    """Build settings incl. the static NEE slot plan from the host light table."""
+    slots = []
+    for li in range(len(light_table.light_type)):
+        ns = 1 if light_table.is_delta[li] else ns_area_light
+        slots.extend([li] * ns)
+    return RenderSettings(
+        ns_aa=ns_aa,
+        max_ray_depth=max_ray_depth,
+        ns_area_light=ns_area_light,
+        light_slots=tuple(slots),
+        total_light_samples=max(len(slots), 1),
+        **kw,
+    )
+
+
+class SceneBundle(NamedTuple):
+    scene: SceneArrays
+    bsdfs: BSDFArrays
+    lights: LightArrays
+    env: object  # EnvLightArrays | None
+
+
+def _uniforms(key, n, shape):
+    """shape uniforms per wavefront lane; key: (N,2) keys -> (N, *shape)."""
+    return jax.vmap(lambda k: jax.random.uniform(k, shape))(key)
+
+
+def _fold(keys, tag):
+    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, tag)
+
+
+def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, n, w_out_w, bsdf_id):
+    """NEE estimate at a batch of shading points (pathtracer.cpp:142-213).
+
+    hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,). Returns (N, 3).
+    """
+    o2w = make_coord_space(n)
+    w_out = world_to_local(o2w, w_out_w)
+
+    if settings.direct_hemisphere_sample:
+        return _direct_hemisphere(bundle, settings, keys, hit_p, o2w, w_out, bsdf_id)
+
+    slot_ids = jnp.asarray(settings.light_slots, jnp.int32)
+
+    def slot_body(L, slot):
+        s_idx, light_row = slot
+        k = _fold(keys, 1000 + s_idx)
+        u = _uniforms(k, hit_p.shape[0], (2,))
+        li = jnp.full(hit_p.shape[0], light_row, jnp.int32)
+        ls = sample_light(bundle.lights, li, hit_p, u, env=bundle.env)
+
+        wi_obj = world_to_local(o2w, ls.wi)
+        facing = wi_obj[:, 2] >= 0  # dot(wi_obj, z) < 0 -> skip (pathtracer.cpp:186)
+
+        occ = occluded_rays(
+            bundle.scene,
+            hit_p,
+            ls.wi,
+            jnp.full(hit_p.shape[0], EPS_F),
+            ls.dist - EPS_F,
+        )
+        cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
+        f = eval_f(bundle.bsdfs, bsdf_id, -wi_obj, w_out)
+        contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
+        use = facing & jnp.logical_not(occ) & (ls.pdf > 0)
+        return L + jnp.where(use[:, None], contrib, 0.0), None
+
+    if len(settings.light_slots) == 0:
+        return jnp.zeros_like(hit_p)
+
+    L = jnp.zeros_like(hit_p)
+    for s_idx, light_row in enumerate(settings.light_slots):
+        L, _ = slot_body(L, (s_idx, light_row))
+    return L / settings.total_light_samples
+
+
+def _direct_hemisphere(bundle, settings, keys, hit_p, o2w, w_out, bsdf_id):
+    """Uniform-hemisphere direct estimator (pathtracer.cpp:86-140)."""
+    num_samples = settings.total_light_samples  # lights * ns_area_light analogue
+    p_w = 1.0 / (2.0 * jnp.pi)
+
+    L = jnp.zeros_like(hit_p)
+    for s in range(num_samples):
+        k = _fold(keys, 2000 + s)
+        u = _uniforms(k, hit_p.shape[0], (2,))
+        theta = jnp.arccos(jnp.clip(u[:, 0], -1.0, 1.0))
+        phi = 2.0 * jnp.pi * u[:, 1]
+        wi = jnp.stack(
+            [jnp.sin(theta) * jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta)],
+            axis=-1,
+        )
+        wi_world = local_to_world(o2w, wi)
+        hit = intersect_rays(
+            bundle.scene,
+            hit_p,
+            wi_world,
+            jnp.full(hit_p.shape[0], EPS_F),
+            jnp.full(hit_p.shape[0], 1e30),
+        )
+        emission = get_emission(bundle.bsdfs, hit.bsdf)
+        cos_out = wi[:, 2]
+        f = eval_f(bundle.bsdfs, bsdf_id, -wi, w_out)
+        contrib = f * emission * (cos_out / p_w)[:, None]
+        L = L + jnp.where(hit.hit[:, None], contrib, 0.0)
+    return L / num_samples
+
+
+def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, keys, px, py, width, height):
+    """One radiance sample per pixel lane (est_radiance_global_illumination).
+
+    px, py: (N,) integer pixel coords; keys: (N,2) per-lane RNG keys.
+    Returns (N, 3) radiance.
+    """
+    n_lanes = px.shape[0]
+
+    jitter = _uniforms(_fold(keys, 0), n_lanes, (2,))
+    x = (px.astype(jnp.float32) + jitter[:, 0]) / width
+    y = (py.astype(jnp.float32) + jitter[:, 1]) / height
+
+    if settings.use_thin_lens:
+        lens_u = _uniforms(_fold(keys, 1), n_lanes, (2,))
+        o, d = generate_rays_thin_lens(cam, x, y, lens_u[:, 0], lens_u[:, 1])
+    else:
+        o, d = generate_rays(cam, x, y)
+
+    t_lo = jnp.full(n_lanes, cam.n_clip)
+    t_hi = jnp.full(n_lanes, cam.f_clip)
+    hit = intersect_rays(bundle.scene, o, d, t_lo, t_hi)
+
+    # miss -> environment lookup (pathtracer.cpp:290-292)
+    if bundle.env is not None:
+        L_miss = envmod.sample_dir(bundle.env, d)
+    else:
+        L_miss = jnp.zeros((n_lanes, 3))
+
+    hit_p = o + d * hit.t[:, None]
+    # zero bounce
+    L = get_emission(bundle.bsdfs, hit.bsdf)
+    # camera-vertex direct
+    L = L + direct_lighting(bundle, settings, _fold(keys, 10), hit_p, hit.n, -d, hit.bsdf)
+
+    if settings.indirect and settings.max_ray_depth > 1:
+        L = L + _indirect(bundle, settings, keys, o, d, hit)
+
+    L = jnp.where(hit.hit[:, None], L, L_miss)
+    return L
+
+
+def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
+    """Iterative form of at_least_one_bounce_radiance (pathtracer.cpp:234-280).
+
+    Returns only the indirect part (bounces 2+); the caller already added the
+    camera-vertex direct lighting.
+    """
+    n_lanes = o.shape[0]
+    L = jnp.zeros((n_lanes, 3))
+    throughput = jnp.ones((n_lanes, 3))
+    active = hit.hit
+
+    cur_o, cur_d, cur_hit = o, d, hit
+
+    for bounce in range(1, settings.max_ray_depth):
+        bkeys = _fold(keys, 50 + bounce)
+        depth_remaining = settings.max_ray_depth - (bounce - 1)
+
+        # RR continuation at the current vertex (pathtracer.cpp:254)
+        rr = _uniforms(_fold(bkeys, 0), n_lanes, ())
+        cont = active & (depth_remaining > 1) & (rr >= (1.0 - CPDF))
+
+        # sample the BSDF at the current vertex
+        o2w = make_coord_space(cur_hit.n)
+        w_out = world_to_local(o2w, -cur_d)
+        u = _uniforms(_fold(bkeys, 1), n_lanes, (3,))
+        bs = sample_f(bundle.bsdfs, cur_hit.bsdf, w_out, u)
+        cont = cont & bs.valid & (bs.pdf > 0)
+
+        wi_world = local_to_world(o2w, bs.wi)
+        hit_p = cur_o + cur_d * cur_hit.t[:, None]
+        nxt = intersect_rays(
+            bundle.scene,
+            hit_p,
+            wi_world,
+            jnp.full(n_lanes, EPS_F),
+            jnp.full(n_lanes, 1e30),
+        )
+        cont = cont & nxt.hit
+
+        cos_theta = bs.wi[:, 2] / jnp.maximum(jnp.linalg.norm(bs.wi, axis=-1), 1e-30)
+        step = bs.f * (cos_theta / (bs.pdf * CPDF))[:, None]
+        throughput = jnp.where(cont[:, None], throughput * step, throughput)
+
+        # direct lighting at the new vertex
+        nxt_p = hit_p + wi_world * nxt.t[:, None]
+        Ld = direct_lighting(
+            bundle, settings, _fold(bkeys, 2), nxt_p, nxt.n, -wi_world, nxt.bsdf
+        )
+        L = L + jnp.where(cont[:, None], throughput * Ld, 0.0)
+
+        cur_o, cur_d, cur_hit = hit_p, wi_world, nxt
+        active = cont
+
+    return L
+
+
+def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, px, py, width, height, key):
+    """Adaptive-sampled radiance for a batch of pixels (raytrace_pixel).
+
+    px, py: (P,) pixel integer coords.  Returns (radiance (P,3), counts (P,)).
+    """
+    n_px = px.shape[0]
+    pixel_ids = (py * width + px).astype(jnp.uint32)
+    base_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pixel_ids)
+
+    spb = min(settings.samples_per_batch, settings.ns_aa)
+    n_batches = -(-settings.ns_aa // spb)
+
+    def one_sample(s_idx, converged):
+        keys = _fold(base_keys, jnp.uint32(s_idx))
+        rad = radiance_sample(bundle, settings, cam, keys, px, py, width, height)
+        use = jnp.logical_not(converged) & (s_idx < settings.ns_aa)
+        return jnp.where(use[:, None], rad, 0.0), use
+
+    def batch_body(carry, b):
+        film, s1, s2, count, converged = carry
+
+        def sample_body(c, j):
+            film, s1, s2, count = c
+            s_idx = b * spb + j
+            rad, use = one_sample(s_idx, converged)
+            illum = 0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
+            film = film + rad
+            s1 = s1 + jnp.where(use, illum, 0.0)
+            s2 = s2 + jnp.where(use, illum * illum, 0.0)
+            count = count + use.astype(jnp.int32)
+            return (film, s1, s2, count), None
+
+        (film, s1, s2, count), _ = jax.lax.scan(
+            sample_body, (film, s1, s2, count), jnp.arange(spb)
+        )
+
+        # 95% CI early-stop (pathtracer.cpp:862-868)
+        n = jnp.maximum(count, 2).astype(jnp.float32)
+        var = 1.0 / (n - 1.0) * jnp.maximum(s2 - s1 * s1 / n, 0.0)
+        ci = 1.96 * jnp.sqrt(var) / jnp.sqrt(n)
+        converged = converged | (ci <= settings.max_tolerance * s1 / n)
+        return (film, s1, s2, count, converged), None
+
+    init = (
+        jnp.zeros((n_px, 3)),
+        jnp.zeros(n_px),
+        jnp.zeros(n_px),
+        jnp.zeros(n_px, jnp.int32),
+        jnp.zeros(n_px, bool),
+    )
+    adaptive = settings.ns_aa > spb
+    if adaptive:
+        (film, s1, s2, count, converged), _ = jax.lax.scan(
+            batch_body, init, jnp.arange(n_batches)
+        )
+    else:
+        (film, s1, s2, count, converged), _ = batch_body(init, 0)
+
+    radiance = film / jnp.maximum(count, 1)[:, None]
+    return radiance, count

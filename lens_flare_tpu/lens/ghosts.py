@@ -1,0 +1,162 @@
+"""Ghost splatting: textured-quad rasterization as batched array ops.
+
+Re-design of the reference's scanline software rasterizer
+(``pathtracer.cpp:305-508``: ``draw_ghost`` -> ``rasterize_textured_triangle``
+-> ``fill_textured_pixel``): every ghost quad is two textured triangles; here
+each triangle's barycentric edge functions are evaluated for the whole film
+at once and accumulated over ghosts with a scan, which keeps results
+bit-comparable with the reference's per-pixel loop (same edge functions, same
+vertex sort, same half-pixel offsets, same floor-indexed nearest texture
+fetch) while being one fused XLA kernel.
+
+Quirks reproduced on purpose (see docstrings): the second triangle of the
+quad maps uv(0,0) to the *lr* corner (pathtracer.cpp:496-498), giving the
+mirrored texture on that half, and intensity = 10/scale^2 pure-channel color
+(pathtracer.cpp:481-494).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _sort3_by_y(vx, vy, vu, vv):
+    """3-element sort network on y (rasterize_textured_triangle:350-369)."""
+
+    def cswap(i, j, vx, vy, vu, vv):
+        swap = vy[j] < vy[i]
+
+        def sw(a):
+            ai = jnp.where(swap, a[j], a[i])
+            aj = jnp.where(swap, a[i], a[j])
+            return a.at[i].set(ai).at[j].set(aj)
+
+        return sw(vx), sw(vy), sw(vu), sw(vv)
+
+    vx, vy, vu, vv = cswap(0, 1, vx, vy, vu, vv)
+    vx, vy, vu, vv = cswap(0, 2, vx, vy, vu, vv)
+    vx, vy, vu, vv = cswap(1, 2, vx, vy, vu, vv)
+    return vx, vy, vu, vv
+
+
+def _raster_triangle(tex, width, height, vx, vy, vu, vv, color, xs, ys):
+    """One textured triangle -> (H*W, 3) additive contribution.
+
+    tex: (h_a, w_a); vx/vy/vu/vv: (3,) vertex coords + uvs; color: (3,);
+    xs, ys: (P,) integer pixel coords of the film.
+    """
+    vx, vy, vu, vv = _sort3_by_y(vx, vy, vu, vv)
+    # pixel centers as integer coords (rasterize:383-388)
+    vx = vx - 0.5
+    vy = vy - 0.5
+
+    x0, x1, x2 = vx[0], vx[1], vx[2]
+    y0, y1, y2 = vy[0], vy[1], vy[2]
+    u0, u1, u2 = vu[0], vu[1], vu[2]
+    v0, v1, v2 = vv[0], vv[1], vv[2]
+
+    # bounding box, exclusive upper bound (rasterize:391-406)
+    min_x = jnp.maximum(0.0, jnp.floor(jnp.minimum(jnp.minimum(x0, x1), x2)))
+    max_x = jnp.minimum(width - 1.0, jnp.ceil(jnp.maximum(jnp.maximum(x0, x1), x2)))
+    min_y = jnp.maximum(0.0, jnp.floor(y0))
+    max_y = jnp.minimum(height - 1.0, jnp.ceil(y2))
+
+    x = xs.astype(vx.dtype)
+    y = ys.astype(vy.dtype)
+    in_box = (x >= min_x) & (x < max_x) & (y >= min_y) & (y < max_y)
+
+    # edge functions (fill_textured_pixel:309-319)
+    alpha = (-(y1 - y0) * (x - x0) + (x1 - x0) * (y - y0)) / (
+        -(y1 - y0) * (x2 - x0) + (x1 - x0) * (y2 - y0)
+    )
+    beta = (-(y2 - y1) * (x - x1) + (x2 - x1) * (y - y1)) / (
+        -(y2 - y1) * (x0 - x1) + (x2 - x1) * (y0 - y1)
+    )
+    gamma = 1.0 - alpha - beta
+    inside = (alpha >= 0) & (beta >= 0) & (gamma >= 0)
+
+    u = u2 * alpha + u0 * beta + u1 * gamma
+    v = v2 * alpha + v0 * beta + v1 * gamma
+
+    # nearest fetch: pixels[int(floor(v) * w_a + u)] (fill_textured_pixel:338)
+    h_a, w_a = tex.shape
+    flat_idx = jnp.floor(v) * w_a + u
+    flat_idx = jnp.clip(flat_idx.astype(jnp.int32), 0, h_a * w_a - 1)
+    sample = tex.reshape(-1)[flat_idx]
+
+    weight = jnp.where(in_box & inside, sample, 0.0)
+    return weight[:, None] * color
+
+
+def ghost_corners(r1, r2, axis_ray, width, height):
+    """Quad corners + color scale for one ghost (draw_ghost, pathtracer.cpp:433-498).
+
+    Returns (corner_x (4,), corner_y (4,), intensity scalar) where corners are
+    ordered [ul, ll, ur, lr] in screen space.
+    """
+    angle = jnp.arctan((axis_ray[1] - 0.5) / (axis_ray[0] - 0.5))
+    shift_amt = -(r1 + r2) / 2.0 * 0.4
+    scale_amt = jnp.abs(r2 - r1) * 0.2
+
+    gb_mid_x = jnp.ceil(axis_ray[0] * width)
+    gb_mid_y = jnp.ceil(axis_ray[1] * height)
+
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    base = jnp.array([[-1.0, 1.0], [-1.0, -1.0], [1.0, 1.0], [1.0, -1.0]])  # ul,ll,ur,lr
+
+    sxy = base * scale_amt
+    rx = ca * sxy[:, 0] - sa * sxy[:, 1] + shift_amt * ca
+    ry = sa * sxy[:, 0] + ca * sxy[:, 1] + shift_amt * sa
+
+    intensity = 10.0 / jnp.maximum(scale_amt * scale_amt, 1e-12)
+    return gb_mid_x + rx, gb_mid_y + ry, intensity
+
+
+def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height):
+    """Accumulate all ghosts into a ghost buffer (generate_ghost_buffer).
+
+    tex: (h_a, w_a) ghost-aperture mask; r1s/r2s: (G,) sensor footprints;
+    colors: (G, 3) pure-channel colors (unit); axis_ray: (2,) sun ns coords.
+    Returns (H, W, 3).
+    """
+    h_a, w_a = tex.shape
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+
+    def one_ghost(buf, ghost):
+        r1, r2, color = ghost
+        cx, cy, intensity = ghost_corners(r1, r2, axis_ray, width, height)
+        col = color * intensity
+        # triangle 1: (ul, uv 0,0), (ll, uv 0,h), (ur, uv w,0)  [draw_ghost:496]
+        t1 = _raster_triangle(
+            tex,
+            width,
+            height,
+            jnp.stack([cx[0], cx[1], cx[2]]),
+            jnp.stack([cy[0], cy[1], cy[2]]),
+            jnp.array([0.0, 0.0, 1.0 * w_a]),
+            jnp.array([0.0, 1.0 * h_a, 0.0]),
+            col,
+            xs,
+            ys,
+        )
+        # triangle 2: (lr, uv 0,0), (ll, uv 0,h), (ur, uv w,0)  [draw_ghost:498]
+        t2 = _raster_triangle(
+            tex,
+            width,
+            height,
+            jnp.stack([cx[3], cx[1], cx[2]]),
+            jnp.stack([cy[3], cy[1], cy[2]]),
+            jnp.array([0.0, 0.0, 1.0 * w_a]),
+            jnp.array([0.0, 1.0 * h_a, 0.0]),
+            col,
+            xs,
+            ys,
+        )
+        return buf + t1 + t2, None
+
+    buf = jnp.zeros((height * width, 3))
+    buf, _ = jax.lax.scan(one_ghost, buf, (r1s, r2s, colors))
+    return buf.reshape(height, width, 3)

@@ -1,0 +1,87 @@
+"""Direct-lighting estimator vs. the NumPy oracle (deterministic for delta lights)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lens_flare_tpu.accel import build_bvh
+from lens_flare_tpu.integrator.lights import lights_to_device
+from lens_flare_tpu.integrator.path import SceneBundle, direct_lighting, make_settings
+from lens_flare_tpu.integrator.shading import bsdf_to_device
+from lens_flare_tpu.ops import intersect_rays, scene_to_device
+from lens_flare_tpu.oracle import tracer as oracle
+from lens_flare_tpu.scene.camera import Camera, place_from_scene_info
+
+
+def test_direct_lighting_matches_oracle(pyramid_scene):
+    scene, info = pyramid_scene
+    # pyramid has only delta lights (2 point + 1 directional) -> deterministic
+    assert scene.lights.is_delta.all()
+
+    lo, hi = scene.primitive_bboxes()
+    bvh = build_bvh(lo, hi)
+    bundle = SceneBundle(
+        scene=scene_to_device(scene, bvh),
+        bsdfs=bsdf_to_device(scene.bsdfs),
+        lights=lights_to_device(scene.lights),
+        env=None,
+    )
+    settings = make_settings(scene.lights, ns_aa=1, max_ray_depth=1, ns_area_light=1)
+
+    cam = Camera()
+    cam.configure(info.camera, 64, 64)
+    place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+
+    rng = np.random.default_rng(7)
+    n = 48
+    xs = rng.uniform(0.1, 0.9, n)
+    ys = rng.uniform(0.1, 0.9, n)
+    origins = np.zeros((n, 3), np.float32)
+    dirs = np.zeros((n, 3), np.float32)
+    for i in range(n):
+        o, d = oracle.generate_ray(cam, xs[i], ys[i])
+        origins[i] = o
+        dirs[i] = d
+
+    hit = intersect_rays(
+        bundle.scene,
+        jnp.asarray(origins),
+        jnp.asarray(dirs),
+        jnp.full(n, cam.n_clip, jnp.float32),
+        jnp.full(n, cam.f_clip, jnp.float32),
+    )
+
+    hit_p = origins + dirs * np.asarray(hit.t)[:, None]
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.PRNGKey(0), jnp.arange(n, dtype=jnp.uint32)
+    )
+    L = direct_lighting(
+        bundle,
+        settings,
+        keys,
+        jnp.asarray(hit_p),
+        hit.n,
+        -jnp.asarray(dirs),
+        hit.bsdf,
+    )
+    L = np.asarray(L)
+
+    checked = 0
+    for i in range(n):
+        ref_isect = oracle.intersect_brute(
+            scene, origins[i].astype(np.float64), dirs[i].astype(np.float64), cam.n_clip, cam.f_clip
+        )
+        if ref_isect is None:
+            continue
+        want = oracle.direct_lighting(
+            scene,
+            scene.bsdfs,
+            origins[i].astype(np.float64),
+            dirs[i].astype(np.float64),
+            ref_isect,
+            ns_area_light=1,
+            light_uniforms={},
+        )
+        np.testing.assert_allclose(L[i], want, rtol=2e-2, atol=2e-3), i
+        checked += 1
+    assert checked > 20
