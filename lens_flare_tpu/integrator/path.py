@@ -101,6 +101,10 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, 
     """NEE estimate at a batch of shading points (pathtracer.cpp:142-213).
 
     hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,). Returns (N, 3).
+
+    All NEE slots (one per delta light + ns_area_light per area light) are
+    traced as ONE widened shadow-ray wavefront of S*N rays so the BVH
+    traversal loop appears once in the compiled program.
     """
     o2w = make_coord_space(n)
     w_out = world_to_local(o2w, w_out_w)
@@ -108,69 +112,80 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, 
     if settings.direct_hemisphere_sample:
         return _direct_hemisphere(bundle, settings, keys, hit_p, o2w, w_out, bsdf_id)
 
-    slot_ids = jnp.asarray(settings.light_slots, jnp.int32)
-
-    def slot_body(L, slot):
-        s_idx, light_row = slot
-        k = _fold(keys, 1000 + s_idx)
-        u = _uniforms(k, hit_p.shape[0], (2,))
-        li = jnp.full(hit_p.shape[0], light_row, jnp.int32)
-        ls = sample_light(bundle.lights, li, hit_p, u, env=bundle.env)
-
-        wi_obj = world_to_local(o2w, ls.wi)
-        facing = wi_obj[:, 2] >= 0  # dot(wi_obj, z) < 0 -> skip (pathtracer.cpp:186)
-
-        occ = occluded_rays(
-            bundle.scene,
-            hit_p,
-            ls.wi,
-            jnp.full(hit_p.shape[0], EPS_F),
-            ls.dist - EPS_F,
-        )
-        cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
-        f = eval_f(bundle.bsdfs, bsdf_id, -wi_obj, w_out)
-        contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
-        use = facing & jnp.logical_not(occ) & (ls.pdf > 0)
-        return L + jnp.where(use[:, None], contrib, 0.0), None
-
     if len(settings.light_slots) == 0:
         return jnp.zeros_like(hit_p)
 
-    L = jnp.zeros_like(hit_p)
-    for s_idx, light_row in enumerate(settings.light_slots):
-        L, _ = slot_body(L, (s_idx, light_row))
-    return L / settings.total_light_samples
+    n_pts = hit_p.shape[0]
+    n_slots = len(settings.light_slots)
+    slot_ids = jnp.asarray(settings.light_slots, jnp.int32)  # (S,)
+
+    # per-slot uniforms: (S, N, 2)
+    def slot_uniforms(s_idx):
+        k = _fold(keys, 1000 + s_idx)
+        return _uniforms(k, n_pts, (2,))
+
+    u = jnp.stack([slot_uniforms(s) for s in range(n_slots)])  # (S, N, 2)
+    li = jnp.broadcast_to(slot_ids[:, None], (n_slots, n_pts))  # (S, N)
+
+    pts = jnp.broadcast_to(hit_p, (n_slots, n_pts, 3)).reshape(-1, 3)
+    ls = sample_light(
+        bundle.lights, li.reshape(-1), pts, u.reshape(-1, 2), env=bundle.env
+    )
+
+    o2w_b = jnp.broadcast_to(o2w, (n_slots, n_pts, 3, 3)).reshape(-1, 3, 3)
+    wi_obj = world_to_local(o2w_b, ls.wi)
+    facing = wi_obj[:, 2] >= 0  # dot(wi_obj, z) < 0 -> skip (pathtracer.cpp:186)
+
+    occ = occluded_rays(
+        bundle.scene,
+        pts,
+        ls.wi,
+        jnp.full(n_slots * n_pts, EPS_F),
+        ls.dist - EPS_F,
+    )
+    cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
+    w_out_b = jnp.broadcast_to(w_out, (n_slots, n_pts, 3)).reshape(-1, 3)
+    bsdf_b = jnp.broadcast_to(bsdf_id, (n_slots, n_pts)).reshape(-1)
+    f = eval_f(bundle.bsdfs, bsdf_b, -wi_obj, w_out_b)
+    contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
+    use = facing & jnp.logical_not(occ) & (ls.pdf > 0)
+    contrib = jnp.where(use[:, None], contrib, 0.0)
+    return contrib.reshape(n_slots, n_pts, 3).sum(axis=0) / settings.total_light_samples
 
 
 def _direct_hemisphere(bundle, settings, keys, hit_p, o2w, w_out, bsdf_id):
     """Uniform-hemisphere direct estimator (pathtracer.cpp:86-140)."""
     num_samples = settings.total_light_samples  # lights * ns_area_light analogue
     p_w = 1.0 / (2.0 * jnp.pi)
+    n_pts = hit_p.shape[0]
 
-    L = jnp.zeros_like(hit_p)
-    for s in range(num_samples):
-        k = _fold(keys, 2000 + s)
-        u = _uniforms(k, hit_p.shape[0], (2,))
-        theta = jnp.arccos(jnp.clip(u[:, 0], -1.0, 1.0))
-        phi = 2.0 * jnp.pi * u[:, 1]
-        wi = jnp.stack(
-            [jnp.sin(theta) * jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta)],
-            axis=-1,
-        )
-        wi_world = local_to_world(o2w, wi)
-        hit = intersect_rays(
-            bundle.scene,
-            hit_p,
-            wi_world,
-            jnp.full(hit_p.shape[0], EPS_F),
-            jnp.full(hit_p.shape[0], 1e30),
-        )
-        emission = get_emission(bundle.bsdfs, hit.bsdf)
-        cos_out = wi[:, 2]
-        f = eval_f(bundle.bsdfs, bsdf_id, -wi, w_out)
-        contrib = f * emission * (cos_out / p_w)[:, None]
-        L = L + jnp.where(hit.hit[:, None], contrib, 0.0)
-    return L / num_samples
+    u = jnp.stack(
+        [_uniforms(_fold(keys, 2000 + s), n_pts, (2,)) for s in range(num_samples)]
+    ).reshape(-1, 2)  # (S*N, 2)
+    theta = jnp.arccos(jnp.clip(u[:, 0], -1.0, 1.0))
+    phi = 2.0 * jnp.pi * u[:, 1]
+    wi = jnp.stack(
+        [jnp.sin(theta) * jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta)],
+        axis=-1,
+    )
+    o2w_b = jnp.broadcast_to(o2w, (num_samples, n_pts, 3, 3)).reshape(-1, 3, 3)
+    pts = jnp.broadcast_to(hit_p, (num_samples, n_pts, 3)).reshape(-1, 3)
+    wi_world = local_to_world(o2w_b, wi)
+    hit = intersect_rays(
+        bundle.scene,
+        pts,
+        wi_world,
+        jnp.full(num_samples * n_pts, EPS_F),
+        jnp.full(num_samples * n_pts, 1e30),
+    )
+    emission = get_emission(bundle.bsdfs, hit.bsdf)
+    cos_out = wi[:, 2]
+    w_out_b = jnp.broadcast_to(w_out, (num_samples, n_pts, 3)).reshape(-1, 3)
+    bsdf_b = jnp.broadcast_to(bsdf_id, (num_samples, n_pts)).reshape(-1)
+    f = eval_f(bundle.bsdfs, bsdf_b, -wi, w_out_b)
+    contrib = f * emission * (cos_out / p_w)[:, None]
+    contrib = jnp.where(hit.hit[:, None], contrib, 0.0)
+    return contrib.reshape(num_samples, n_pts, 3).sum(axis=0) / num_samples
 
 
 def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, keys, px, py, width, height):
@@ -221,13 +236,9 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
     camera-vertex direct lighting.
     """
     n_lanes = o.shape[0]
-    L = jnp.zeros((n_lanes, 3))
-    throughput = jnp.ones((n_lanes, 3))
-    active = hit.hit
 
-    cur_o, cur_d, cur_hit = o, d, hit
-
-    for bounce in range(1, settings.max_ray_depth):
+    def bounce_body(carry, bounce):
+        cur_o, cur_d, cur_hit, throughput, active, L = carry
         bkeys = _fold(keys, 50 + bounce)
         depth_remaining = settings.max_ray_depth - (bounce - 1)
 
@@ -264,9 +275,12 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
         )
         L = L + jnp.where(cont[:, None], throughput * Ld, 0.0)
 
-        cur_o, cur_d, cur_hit = hit_p, wi_world, nxt
-        active = cont
+        return (hit_p, wi_world, nxt, throughput, cont, L), None
 
+    init = (o, d, hit, jnp.ones((n_lanes, 3)), hit.hit, jnp.zeros((n_lanes, 3)))
+    (_, _, _, _, _, L), _ = jax.lax.scan(
+        bounce_body, init, jnp.arange(1, settings.max_ray_depth)
+    )
     return L
 
 

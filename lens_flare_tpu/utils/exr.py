@@ -121,7 +121,8 @@ def read(path) -> np.ndarray:
         y0 = y_coord - y_min
         nlines = min(lines_per_block, height - y0)
         raw_size = sum(cs * width for cs in chan_sizes) * nlines
-        if compression == COMPRESSION_NONE:
+        if compression == COMPRESSION_NONE or len(block) == raw_size:
+            # blocks that didn't shrink are stored raw (EXR spec)
             raw = block
         else:
             raw = zlib.decompress(block)
