@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.intersect import SceneArrays, intersect_rays, occluded_rays
+from ..ops.intersect import SceneArrays, finalize_hit, intersect_rays, occluded_rays
 from ..scene.camera import CameraParams, generate_rays, generate_rays_thin_lens
 from . import envlight as envmod
 from .lights import LT_ENV, LightArrays, sample_light
@@ -86,6 +86,26 @@ class SceneBundle(NamedTuple):
     bsdfs: BSDFArrays
     lights: LightArrays
     env: object  # EnvLightArrays | None
+    pscene: object = None  # optional ops.intersect_pallas.PallasScene (TPU fast path)
+
+
+def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
+    """Closest-hit through the Pallas kernel when available, else the XLA path."""
+    if bundle.pscene is not None:
+        from ..ops.intersect_pallas import intersect_pallas
+
+        t, prim, b1, b2, found = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
+        return finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
+    return intersect_rays(bundle.scene, o, d, t_lo, t_hi)
+
+
+def trace_occluded(bundle: SceneBundle, o, d, t_lo, t_hi):
+    if bundle.pscene is not None:
+        from ..ops.intersect_pallas import intersect_pallas
+
+        _, prim, _, _, found = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
+        return found
+    return occluded_rays(bundle.scene, o, d, t_lo, t_hi)
 
 
 def _uniforms(key, n, shape):
@@ -136,8 +156,8 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, 
     wi_obj = world_to_local(o2w_b, ls.wi)
     facing = wi_obj[:, 2] >= 0  # dot(wi_obj, z) < 0 -> skip (pathtracer.cpp:186)
 
-    occ = occluded_rays(
-        bundle.scene,
+    occ = trace_occluded(
+        bundle,
         pts,
         ls.wi,
         jnp.full(n_slots * n_pts, EPS_F),
@@ -171,8 +191,8 @@ def _direct_hemisphere(bundle, settings, keys, hit_p, o2w, w_out, bsdf_id):
     o2w_b = jnp.broadcast_to(o2w, (num_samples, n_pts, 3, 3)).reshape(-1, 3, 3)
     pts = jnp.broadcast_to(hit_p, (num_samples, n_pts, 3)).reshape(-1, 3)
     wi_world = local_to_world(o2w_b, wi)
-    hit = intersect_rays(
-        bundle.scene,
+    hit = trace_closest(
+        bundle,
         pts,
         wi_world,
         jnp.full(num_samples * n_pts, EPS_F),
@@ -208,7 +228,7 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
 
     t_lo = jnp.full(n_lanes, cam.n_clip)
     t_hi = jnp.full(n_lanes, cam.f_clip)
-    hit = intersect_rays(bundle.scene, o, d, t_lo, t_hi)
+    hit = trace_closest(bundle, o, d, t_lo, t_hi)
 
     # miss -> environment lookup (pathtracer.cpp:290-292)
     if bundle.env is not None:
@@ -255,8 +275,8 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
 
         wi_world = local_to_world(o2w, bs.wi)
         hit_p = cur_o + cur_d * cur_hit.t[:, None]
-        nxt = intersect_rays(
-            bundle.scene,
+        nxt = trace_closest(
+            bundle,
             hit_p,
             wi_world,
             jnp.full(n_lanes, EPS_F),

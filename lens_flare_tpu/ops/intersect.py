@@ -237,7 +237,12 @@ def intersect_rays(scene: SceneArrays, o, d, t_lo, t_hi, max_leaf: int = 4, max_
     t, prim, b1, b2, found = jax.vmap(
         lambda oo, dd, lo, hi: traverse(scene, oo, dd, lo, hi)
     )(o, d, t_lo, t_hi)
+    return finalize_hit(scene, o, d, t, prim, b1, b2, found)
 
+
+def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
+    """Raw traversal results -> Hit with shading normals + bsdf rows."""
+    num_tris = int(scene.tri_p0.shape[0])
     is_tri = (prim >= 0) & (prim < num_tris)
     tri_idx = jnp.clip(prim, 0, max(num_tris - 1, 0))
     sph_idx = jnp.clip(prim - num_tris, 0, max(int(scene.sph_center.shape[0]) - 1, 0))

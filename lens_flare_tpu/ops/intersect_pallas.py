@@ -1,0 +1,281 @@
+"""Pallas TPU packet-traversal intersection kernel.
+
+The hot loop of the whole framework (reference: ``bvh.cpp:201-222`` +
+``triangle.cpp:86-112``), shaped for the TPU vector unit instead of a
+pointer-chasing scalar walk:
+
+- rays are stored SoA as (8, TILE) — components in sublanes, rays in lanes —
+  so every op is a full-width VPU op
+- the scene is a two-level cluster tree (:mod:`lens_flare_tpu.accel.wide`):
+  the kernel computes a (B1, TILE) slab-test matrix against the top-level
+  boxes once, then for each *hit* top cluster a (B2, TILE) child matrix, and
+  only walks triangle chunks whose column has any live lane — whole-tile
+  ``@pl.when`` culling, zero per-lane gathers
+- Möller-Trumbore runs vectorized over (K, TILE) pairs per active chunk,
+  with the winner reduced by a one-hot max instead of a gather
+- spheres (<= 64) are tested brute-force per tile after the cluster walk
+
+VMEM residency: the whole cluster tree lives in VMEM (<= ~6 MB up to 128k
+triangles); larger scenes fall back to the XLA path in ops.intersect.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracers
+TILE = 512
+
+
+def _safe_inv(d):
+    eps = 1e-12
+    return 1.0 / jnp.where(d >= 0, jnp.maximum(d, eps), jnp.minimum(d, -eps))
+
+
+def _box_hits(boxes, o, inv_d, t_lo, t_hi):
+    """Slab tests: boxes (B, 8) vs rays (components (1, TILE)). -> (B, TILE) bool."""
+    bmin = [boxes[:, i : i + 1] for i in range(3)]  # (B, 1)
+    bmax = [boxes[:, 3 + i : 4 + i] for i in range(3)]
+    t_min = jnp.full_like(bmin[0] * o[0], -INF)
+    t_max = jnp.full_like(t_min, INF)
+    for ax in range(3):
+        t1 = (bmin[ax] - o[ax]) * inv_d[ax]
+        t2 = (bmax[ax] - o[ax]) * inv_d[ax]
+        t_min = jnp.maximum(t_min, jnp.minimum(t1, t2))
+        t_max = jnp.minimum(t_max, jnp.maximum(t1, t2))
+    return (t_min <= t_max) & (t_max >= t_lo) & (t_min <= t_hi)
+
+
+def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int):
+    def kernel(
+        rays_ref,  # (8, TILE) [ox oy oz dx dy dz tlo thi]
+        top_ref,  # (B1, 8)
+        child_ref,  # (B1*B2, 8)
+        tri_ref,  # (B1*B2*K, 12)
+        tri_id_ref,  # (B1*B2*K, 1) int32
+        sph_ref,  # (max(S,1), 8) [cx cy cz r ...]
+        out_t_ref,  # (1, TILE)
+        out_prim_ref,  # (1, TILE) int32
+        out_bary_ref,  # (2, TILE)
+        top_any_ref,  # scratch VMEM (B1, 1) f32: per-top-cluster any-lane flags
+        ch_ref,  # scratch VMEM (B2, TILE) f32: child lane masks for the active top
+        ca_ref,  # scratch VMEM (B2, 1) f32: child any-lane flags
+    ):
+        rays = rays_ref[:]  # (8, TILE)
+        o = [rays[i : i + 1, :] for i in range(3)]  # (1, TILE) each
+        d = [rays[3 + i : 4 + i, :] for i in range(3)]
+        t_lo = rays[6:7, :]
+        t_hi = rays[7:8, :]
+        inv_d = [_safe_inv(d[i]) for i in range(3)]
+
+        out_t_ref[:] = jnp.full((1, TILE), INF, jnp.float32)
+        out_prim_ref[:] = jnp.full((1, TILE), -1, jnp.int32)
+        out_bary_ref[:] = jnp.zeros((2, TILE), jnp.float32)
+
+        top_hits = _box_hits(top_ref[:], o, inv_d, t_lo, t_hi)  # (B1, TILE)
+        top_any_ref[:] = jnp.any(top_hits, axis=1, keepdims=True).astype(jnp.float32)
+
+        def top_body(t_idx, _):
+            @pl.when(top_any_ref[t_idx, 0] != 0)
+            def _():
+                child_block = child_ref[pl.ds(t_idx * b2, b2), :]  # (B2, 8)
+                child_hits = _box_hits(child_block, o, inv_d, t_lo, t_hi)  # (B2, TILE)
+                ch_ref[:] = child_hits.astype(jnp.float32)
+                ca_ref[:] = jnp.any(child_hits, axis=1, keepdims=True).astype(jnp.float32)
+
+                def child_body(c_idx, _):
+                    @pl.when(ca_ref[c_idx, 0] != 0)
+                    def _():
+                        node = t_idx * b2 + c_idx
+                        chunk = tri_ref[pl.ds(node * k, k), :]  # (K, 12)
+                        ids = tri_id_ref[pl.ds(node * k, k), :]  # (K, 1)
+                        lane_mask = ch_ref[pl.ds(c_idx, 1), :] != 0  # (1, TILE)
+
+                        p0 = [chunk[:, i : i + 1] for i in range(3)]  # (K, 1)
+                        e1 = [chunk[:, 3 + i : 4 + i] for i in range(3)]
+                        e2 = [chunk[:, 6 + i : 7 + i] for i in range(3)]
+
+                        # s = o - p0   (K, TILE)
+                        s = [o[i] - p0[i] for i in range(3)]
+                        # s1 = d x e2  (K, TILE)
+                        s1 = [
+                            d[1] * e2[2] - d[2] * e2[1],
+                            d[2] * e2[0] - d[0] * e2[2],
+                            d[0] * e2[1] - d[1] * e2[0],
+                        ]
+                        # s2 = s x e1
+                        s2 = [
+                            s[1] * e1[2] - s[2] * e1[1],
+                            s[2] * e1[0] - s[0] * e1[2],
+                            s[0] * e1[1] - s[1] * e1[0],
+                        ]
+                        det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
+                        inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
+                        tt = (s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]) * inv_det
+                        bb1 = (s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]) * inv_det
+                        bb2 = (s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]) * inv_det
+
+                        best_t = out_t_ref[:]  # (1, TILE)
+                        limit = jnp.minimum(t_hi, best_t)
+                        valid = (
+                            (det != 0)
+                            & (tt >= t_lo)
+                            & (tt <= limit)
+                            & (bb1 >= 0)
+                            & (bb1 <= 1)
+                            & (bb2 >= 0)
+                            & (bb2 <= 1)
+                            & (bb1 + bb2 <= 1)
+                            & lane_mask
+                        )  # (K, TILE)
+
+                        t_masked = jnp.where(valid, tt, INF)
+                        t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
+                        improved = t_best_k < best_t
+
+                        is_best = valid & (t_masked == t_best_k)
+                        prim_k = jnp.where(is_best, ids, jnp.int32(-1))
+                        prim_best = jnp.max(prim_k, axis=0, keepdims=True)
+                        b1_best = jnp.max(jnp.where(is_best, bb1, -INF), axis=0, keepdims=True)
+                        b2_best = jnp.max(jnp.where(is_best, bb2, -INF), axis=0, keepdims=True)
+
+                        out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
+                        out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
+                        cur_bary = out_bary_ref[:]
+                        new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
+                        out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
+
+                    return 0
+
+                jax.lax.fori_loop(0, b2, child_body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, b1, top_body, 0)
+
+        # --- spheres, brute force (sphere.cpp:11-111) ---
+        sph = sph_ref[:]
+        for s_idx in range(n_spheres):
+            c = [sph[s_idx, i] for i in range(3)]
+            r = sph[s_idx, 3]
+            oc = [o[i] - c[i] for i in range(3)]
+            a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            bq = 2.0 * (oc[0] * d[0] + oc[1] * d[1] + oc[2] * d[2])
+            cq = oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2] - r * r
+            disc = bq * bq - 4.0 * a * cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-bq - sq) / (2.0 * a)
+            t2 = (-bq + sq) / (2.0 * a)
+            best_t = out_t_ref[:]
+            limit = jnp.minimum(t_hi, best_t)
+            t1_ok = (t1 >= t_lo) & (t1 <= limit)
+            t2_ok = (t2 >= t_lo) & (t2 <= limit)
+            ts = jnp.where(t1_ok, t1, t2)
+            valid = (disc >= 0) & (t1_ok | t2_ok)
+            improved = valid & (ts < best_t)
+            out_t_ref[:] = jnp.where(improved, ts, best_t)
+            out_prim_ref[:] = jnp.where(
+                improved, jnp.int32(num_tris + s_idx), out_prim_ref[:]
+            )
+
+    return kernel
+
+
+class PallasScene:
+    """Device-side packed scene for the Pallas kernel."""
+
+    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris):
+        self.top = jnp.asarray(wide_bvh.top_boxes)
+        self.child = jnp.asarray(wide_bvh.child_boxes)
+        self.tri = jnp.asarray(wide_bvh.tri_soa)
+        self.tri_id = jnp.asarray(wide_bvh.tri_id.reshape(-1, 1))
+        self.b1 = wide_bvh.b1
+        self.b2 = wide_bvh.b2
+        self.k = wide_bvh.k
+        self.num_tris = int(num_tris)
+        n_sph = len(sph_center)
+        sph = np.zeros((max(n_sph, 1), 8), np.float32)
+        if n_sph:
+            sph[:n_sph, 0:3] = sph_center
+            sph[:n_sph, 3] = sph_radius
+        self.sph = jnp.asarray(sph)
+        self.n_spheres = n_sph
+
+
+@partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret"))
+def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, interpret=False):
+    n_tiles = rays.shape[1] // TILE
+    kernel = _make_kernel(b1, b2, k, n_spheres, num_tris)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((top.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((child.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tri.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tri_id.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b1, 1), jnp.float32),
+            pltpu.VMEM((b2, TILE), jnp.float32),
+            pltpu.VMEM((b2, 1), jnp.float32),
+        ],
+    )
+    n = rays.shape[1]
+    out_t, out_prim, out_bary = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+        ],
+    )(rays, top, child, tri, tri_id, sph)
+    return out_t, out_prim, out_bary
+
+
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False):
+    """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit) with N lanes.
+
+    N is padded internally to a TILE multiple.
+    """
+    n = o.shape[0]
+    pad = (-n) % TILE
+    rays = jnp.concatenate(
+        [o.T, d.T, t_lo[None, :], t_hi[None, :]], axis=0
+    )  # (8, N)
+    if pad:
+        rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    out_t, out_prim, out_bary = _launch(
+        rays,
+        pscene.top,
+        pscene.child,
+        pscene.tri,
+        pscene.tri_id,
+        pscene.sph,
+        b1=pscene.b1,
+        b2=pscene.b2,
+        k=pscene.k,
+        n_spheres=pscene.n_spheres,
+        num_tris=pscene.num_tris,
+        interpret=interpret,
+    )
+    t = out_t[0, :n]
+    prim = out_prim[0, :n]
+    b1v = out_bary[0, :n]
+    b2v = out_bary[1, :n]
+    hit = prim >= 0
+    return t, prim, b1v, b2v, hit

@@ -60,6 +60,7 @@ class Renderer:
     bvh_method: str = "sah"
     tile_pixels: int = 1 << 16  # wavefront width per launch
     seed: int = 0
+    use_pallas: bool | None = None  # None = auto (TPU + scene fits VMEM)
 
     # populated by set_scene/set_camera
     scene: FlatScene = None
@@ -109,11 +110,29 @@ class Renderer:
             lt.area = np.append(lt.area, 0.0).astype(np.float32)
             lt.is_delta = np.append(lt.is_delta, False)
 
+        pscene = None
+        if self.use_pallas is None:
+            # Pallas kernel: TPU only, scene must fit the VMEM cluster tree
+            self.use_pallas = (
+                jax.default_backend() not in ("cpu",)
+                and self.scene.num_triangles <= 64 * 64 * 32
+                and self.scene.num_spheres <= 64
+            )
+        if self.use_pallas:
+            from .accel.wide import build_wide_bvh
+            from .ops.intersect_pallas import PallasScene
+
+            wb = build_wide_bvh(self.scene.tri_p)
+            pscene = PallasScene(
+                wb, self.scene.sph_center, self.scene.sph_radius, self.scene.num_triangles
+            )
+
         self.bundle = SceneBundle(
             scene=scene_to_device(self.scene, bvh),
             bsdfs=bsdf_to_device(self.scene.bsdfs),
             lights=lights_to_device(self.scene.lights),
             env=env,
+            pscene=pscene,
         )
         self.settings = make_settings(
             self.scene.lights,
