@@ -65,6 +65,17 @@ def build_bvh(
             max_depth=1,
         )
 
+    if method == "sah":
+        # prefer the native C++ builder (same layout, much faster host build)
+        try:
+            from .native import build_bvh_native
+
+            native = build_bvh_native(box_min, box_max, max_leaf_size)
+            if native is not None:
+                return native
+        except Exception:
+            pass
+
     box_min = np.asarray(box_min, np.float64)
     box_max = np.asarray(box_max, np.float64)
     centroids = (box_min + box_max) * 0.5

@@ -72,6 +72,16 @@ def build_wide_bvh(tri_p: np.ndarray, b1: int | None = None, b2: int | None = No
     if b1 is None:
         b1, b2, k = choose_shape(n)
 
+    if n > 0:
+        try:
+            from .native import build_wide_native
+
+            native = build_wide_native(np.asarray(tri_p, np.float32), b1, b2, k)
+            if native is not None:
+                return native
+        except Exception:
+            pass
+
     tri_p = np.asarray(tri_p, np.float64)
     if n == 0:
         return WideBVH(
