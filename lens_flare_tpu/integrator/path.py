@@ -60,6 +60,7 @@ class RenderSettings(NamedTuple):
     direct_hemisphere_sample: bool = False  # -H
     indirect: bool = True  # Part-4 indirect transport (commented out in ref)
     use_thin_lens: bool = False  # -b/-d
+    pixel_jitter: bool = True  # False: rays through pixel centers (tests)
     # static light-sampling plan: tuple of light row ids, one per NEE slot
     light_slots: tuple = ()
     total_light_samples: int = 1
@@ -216,9 +217,13 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     """
     n_lanes = px.shape[0]
 
-    jitter = _uniforms(_fold(keys, 0), n_lanes, (2,))
-    x = (px.astype(jnp.float32) + jitter[:, 0]) / width
-    y = (py.astype(jnp.float32) + jitter[:, 1]) / height
+    if settings.pixel_jitter:
+        jitter = _uniforms(_fold(keys, 0), n_lanes, (2,))
+        jx, jy = jitter[:, 0], jitter[:, 1]
+    else:
+        jx = jy = 0.5
+    x = (px.astype(jnp.float32) + jx) / width
+    y = (py.astype(jnp.float32) + jy) / height
 
     if settings.use_thin_lens:
         lens_u = _uniforms(_fold(keys, 1), n_lanes, (2,))

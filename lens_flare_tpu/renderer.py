@@ -226,6 +226,30 @@ class Renderer:
         print(f"[PathTracer] saved to {filename}")
         return hdr
 
+    def autofocus(self, x: float, y: float) -> float:
+        """Set focalDistance to the hit depth under pixel (x, y) (pathtracer.cpp:1065-1072)."""
+        import jax.numpy as jnp
+
+        from .integrator.path import trace_closest
+        from .scene.camera import generate_rays
+
+        cam = self.camera.params()
+        o, d = generate_rays(
+            cam,
+            jnp.asarray([x / self.width], jnp.float32),
+            jnp.asarray([y / self.height], jnp.float32),
+        )
+        hit = trace_closest(
+            self.bundle,
+            o,
+            d,
+            jnp.asarray([self.camera.n_clip], jnp.float32),
+            jnp.asarray([self.camera.f_clip], jnp.float32),
+        )
+        self.focal_distance = float(hit.t[0])
+        self.camera.focal_distance = self.focal_distance
+        return self.focal_distance
+
     def composite_flare(self, hdr: np.ndarray) -> np.ndarray:
         """Add ghost buffer + starburst + falloff if a flare is configured."""
         if self.aperture_path is None and self.ghost_aperture_path is None:

@@ -1,0 +1,87 @@
+"""Golden statistical test: full render vs. oracle expectation (area light).
+
+CBspheres_lambertian: Cornell box with an area light and two diffuse spheres.
+Rays go through pixel centers (jitter off) so the only stochastic part is the
+area-light sampling; the oracle integrates direct lighting with a stratified
+grid and the renderer must converge to it within Monte-Carlo tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lens_flare_tpu.accel import build_bvh
+from lens_flare_tpu.integrator.lights import lights_to_device
+from lens_flare_tpu.integrator.path import SceneBundle, make_settings, render_wavefront
+from lens_flare_tpu.integrator.shading import bsdf_to_device
+from lens_flare_tpu.ops import scene_to_device
+from lens_flare_tpu.oracle import tracer as oracle
+from lens_flare_tpu.scene.build import load_scene
+from lens_flare_tpu.scene.camera import Camera, place_from_scene_info
+
+
+def test_render_matches_oracle_expectation(dae_dir):
+    scene, info = load_scene(dae_dir / "sky" / "CBspheres_lambertian.dae")
+    lo, hi = scene.primitive_bboxes()
+    bvh = build_bvh(lo, hi)
+    bundle = SceneBundle(
+        scene=scene_to_device(scene, bvh),
+        bsdfs=bsdf_to_device(scene.bsdfs),
+        lights=lights_to_device(scene.lights),
+        env=None,
+    )
+    W = H = 8
+    spp = 256
+    settings = make_settings(
+        scene.lights,
+        ns_aa=spp,
+        max_ray_depth=1,
+        ns_area_light=1,
+        indirect=False,
+        pixel_jitter=False,
+        samples_per_batch=spp,  # single batch: no adaptive stop
+        max_tolerance=0.0,
+    )
+    cam = Camera()
+    cam.configure(info.camera, W, H)
+    place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel())
+    py = jnp.asarray(ys.ravel())
+    key = jax.random.PRNGKey(0)
+    rad, cnt = jax.jit(
+        lambda px, py: render_wavefront(bundle, settings, cam.params(), px, py, W, H, key)
+    )(px, py)
+    rad = np.asarray(rad).reshape(H, W, 3)
+    assert int(np.asarray(cnt).min()) == spp
+
+    # oracle: emission + stratified-grid expectation of direct lighting
+    grid = 12
+    uu, vv = np.meshgrid(
+        (np.arange(grid) + 0.5) / grid, (np.arange(grid) + 0.5) / grid
+    )
+    strat = np.stack([uu.ravel(), vv.ravel()], axis=1)
+
+    want = np.zeros((H, W, 3))
+    for yy in range(H):
+        for xx in range(W):
+            o, d = oracle.generate_ray(cam, (xx + 0.5) / W, (yy + 0.5) / H)
+            isect = oracle.intersect_brute(scene, o, d, cam.n_clip, cam.f_clip)
+            if isect is None:
+                continue
+            total = oracle.bsdf_emission(scene.bsdfs, isect["bsdf"]).copy()
+            acc = np.zeros(3)
+            for u in strat:
+                acc += oracle.direct_lighting(
+                    scene, scene.bsdfs, o, d, isect, 1, {(0, 0): u}
+                )
+            want[yy, xx] = total + acc / len(strat)
+
+    # Monte-Carlo tolerance: 256 spp of a 1-sample area-light estimator
+    err = np.abs(rad - want)
+    scale = np.maximum(want, 0.05)
+    assert (err / scale < 0.35).mean() > 0.95, (
+        f"too many mismatched pixels; max rel {np.max(err / scale)}"
+    )
+    np.testing.assert_allclose(rad.mean(axis=(0, 1)), want.mean(axis=(0, 1)), rtol=0.1)
