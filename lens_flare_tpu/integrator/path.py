@@ -96,8 +96,29 @@ def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
         from ..ops.intersect_pallas import intersect_pallas
 
         t, prim, b1, b2, found = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
-        return finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
-    return intersect_rays(bundle.scene, o, d, t_lo, t_hi)
+        hit = finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
+    else:
+        hit = intersect_rays(bundle.scene, o, d, t_lo, t_hi)
+    return _orient_normals(bundle, d, hit)
+
+
+def _orient_normals(bundle: SceneBundle, d, hit):
+    """Face-forward shading normals for reflective materials.
+
+    Several corpus scenes (the sky/CB* Cornell boxes) have wall windings
+    whose vertex normals point *outward*; with the raw normal the NEE
+    facing test (pathtracer.cpp:186) blacks them out.  Flip backfacing
+    normals toward the ray for non-transmissive BSDFs; refraction/glass
+    keep the raw normal because its side encodes entering vs. exiting.
+    """
+    from ..scene.collada import BSDF_GLASS, BSDF_REFRACTION
+
+    t = bundle.bsdfs.bsdf_type[hit.bsdf]
+    transmissive = (t == BSDF_REFRACTION) | (t == BSDF_GLASS)
+    backface = jnp.sum(hit.n * d, axis=-1) > 0
+    flip = backface & jnp.logical_not(transmissive) & hit.hit
+    n = jnp.where(flip[:, None], -hit.n, hit.n)
+    return hit._replace(n=n)
 
 
 def trace_occluded(bundle: SceneBundle, o, d, t_lo, t_hi):

@@ -57,8 +57,8 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int):
         rays_ref,  # (8, TILE) [ox oy oz dx dy dz tlo thi]
         top_ref,  # (B1, 8)
         child_ref,  # (B1*B2, 8)
-        tri_ref,  # (B1*B2*K, 12)
-        tri_id_ref,  # (B1*B2*K, 1) int32
+        tri_ref,  # (9*K, B1*B2) component-major planes
+        tri_id_ref,  # (K, B1*B2) int32
         sph_ref,  # (max(S,1), 8) [cx cy cz r ...]
         out_t_ref,  # (1, TILE)
         out_prim_ref,  # (1, TILE) int32
@@ -93,13 +93,27 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int):
                     @pl.when(ca_ref[c_idx, 0] != 0)
                     def _():
                         node = t_idx * b2 + c_idx
-                        chunk = tri_ref[pl.ds(node * k, k), :]  # (K, 12)
-                        ids = tri_id_ref[pl.ds(node * k, k), :]  # (K, 1)
+                        # lane slices must be 128-aligned: load the aligned
+                        # 128-node block and one-hot-select our column
+                        base = pl.multiple_of((node // 128) * 128, 128)
+                        lane = node - base
+                        onehot = (
+                            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == lane
+                        )
+                        tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
+                        col = jnp.sum(
+                            tri_block * onehot.astype(jnp.float32), axis=1, keepdims=True
+                        )  # (9K, 1)
+                        id_block = tri_id_ref[:, pl.ds(base, 128)]  # (K, 128)
+                        ids = jnp.sum(
+                            jnp.where(onehot, id_block, 0), axis=1, keepdims=True
+                        )  # (K, 1)
                         lane_mask = ch_ref[pl.ds(c_idx, 1), :] != 0  # (1, TILE)
 
-                        p0 = [chunk[:, i : i + 1] for i in range(3)]  # (K, 1)
-                        e1 = [chunk[:, 3 + i : 4 + i] for i in range(3)]
-                        e2 = [chunk[:, 6 + i : 7 + i] for i in range(3)]
+                        comp = [col[pl_j * k : (pl_j + 1) * k] for pl_j in range(9)]
+                        p0 = comp[0:3]  # (K, 1) each
+                        e1 = comp[3:6]
+                        e2 = comp[6:9]
 
                         # s = o - p0   (K, TILE)
                         s = [o[i] - p0[i] for i in range(3)]
@@ -188,16 +202,32 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int):
 
 
 class PallasScene:
-    """Device-side packed scene for the Pallas kernel."""
+    """Device-side packed scene for the Pallas kernel.
+
+    Triangle data is stored component-major as (9*K, B_nodes) "planes":
+    row j*K+s, column `node` holds component j of slot s in that node's
+    chunk.  This wastes no VMEM to lane padding (lanes = nodes, thousands)
+    and a node's component column slices out directly as the (K, 1) vector
+    the (K, TILE) intersection math broadcasts — the naive (N, 12) layout
+    pads every row to 128 lanes and blows VMEM 10x.
+    """
 
     def __init__(self, wide_bvh, sph_center, sph_radius, num_tris):
         self.top = jnp.asarray(wide_bvh.top_boxes)
         self.child = jnp.asarray(wide_bvh.child_boxes)
-        self.tri = jnp.asarray(wide_bvh.tri_soa)
-        self.tri_id = jnp.asarray(wide_bvh.tri_id.reshape(-1, 1))
-        self.b1 = wide_bvh.b1
-        self.b2 = wide_bvh.b2
-        self.k = wide_bvh.k
+        b1, b2, k = wide_bvh.b1, wide_bvh.b2, wide_bvh.k
+        n_nodes = b1 * b2
+        soa = wide_bvh.tri_soa.reshape(n_nodes, k, 12)
+        planes = np.ascontiguousarray(
+            soa.transpose(2, 1, 0)[:9].reshape(9 * k, n_nodes)
+        )
+        self.tri = jnp.asarray(planes)  # (9*K, B_nodes)
+        self.tri_id = jnp.asarray(
+            np.ascontiguousarray(wide_bvh.tri_id.reshape(n_nodes, k).T)
+        )  # (K, B_nodes)
+        self.b1 = b1
+        self.b2 = b2
+        self.k = k
         self.num_tris = int(num_tris)
         n_sph = len(sph_center)
         sph = np.zeros((max(n_sph, 1), 8), np.float32)
@@ -218,8 +248,8 @@ def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, 
             pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((top.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((child.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tri.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tri_id.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_id.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[

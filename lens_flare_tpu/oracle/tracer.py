@@ -140,13 +140,24 @@ def sample_light(lights, li, p, uniforms):
     raise ValueError(lt)
 
 
+def orient_normal(bsdfs, isect, ray_d):
+    """Face-forward shading normal for reflective materials (see
+    integrator.path._orient_normals)."""
+    btype = int(bsdfs.bsdf_type[isect["bsdf"]])
+    if btype in (4, 5):  # refraction/glass keep the raw normal
+        return isect["n"]
+    if np.dot(isect["n"], ray_d) > 0:
+        return -isect["n"]
+    return isect["n"]
+
+
 def direct_lighting(scene, bsdfs, ray_o, ray_d, isect, ns_area_light, light_uniforms):
     """estimate_direct_lighting_importance (pathtracer.cpp:142-213), diffuse only.
 
     light_uniforms: dict (light_index, sample_index) -> (2,) uniforms.
     """
     lights = scene.lights
-    o2w = make_coord_space(isect["n"])
+    o2w = make_coord_space(orient_normal(bsdfs, isect, ray_d))
     w2o = o2w.T
     hit_p = ray_o + ray_d * isect["t"]
     w_out = w2o @ (-ray_d)
