@@ -32,6 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", dest="cam_settings", default=None, help="camera settings file")
     p.add_argument("-x", dest="aperture", default=None, help="aperture PNG (starburst)")
     p.add_argument("-y", dest="ghost_aperture", default=None, help="ghost-aperture PNG")
+    p.add_argument("--bokeh", dest="bokeh", default=None, help="bokeh mask PNG for aperture-shaped DoF")
     p.add_argument("-i", type=float, default=0.0, dest="flare_intensity", help="lens flare intensity")
     p.add_argument("-n", type=float, default=0.0, dest="flare_radius", help="lens flare radius")
     p.add_argument("-H", action="store_true", dest="hemisphere", help="uniform hemisphere direct sampling")
@@ -72,6 +73,7 @@ def main(argv=None) -> int:
         envmap=envmap,
         aperture_path=args.aperture,
         ghost_aperture_path=args.ghost_aperture,
+        bokeh_path=args.bokeh,
         flare_intensity=args.flare_intensity,
         flare_radius=args.flare_radius,
         camera_settings=args.cam_settings,

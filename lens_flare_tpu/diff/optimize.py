@@ -27,7 +27,7 @@ from ..lens.prescription import LensPrescription, reference_prescription
 @dataclass
 class OptimizeConfig:
     steps: int = 200
-    learning_rate: float = 1e-3
+    learning_rate: float = 1e-4
     width: int = 128
     height: int = 128
     checkpoint_dir: str | None = None
@@ -40,7 +40,7 @@ def ghost_image(lens: LensPrescription, ghost_tex, axis_ray, angle, width, heigh
     r1, r2 = trace_all_ghosts(lens, angle)
     n_pairs = r1.shape[0]
     colors = jnp.tile(jnp.eye(3), (n_pairs, 1))
-    return splat_ghosts(ghost_tex, r1.reshape(-1), r2.reshape(-1), colors, axis_ray, width, height)
+    return splat_ghosts(ghost_tex, r1.reshape(-1), r2.reshape(-1), colors, axis_ray, width, height, smooth=True)
 
 
 def optimize_lens(

@@ -88,6 +88,43 @@ class SceneBundle(NamedTuple):
     lights: LightArrays
     env: object  # EnvLightArrays | None
     pscene: object = None  # optional ops.intersect_pallas.PallasScene (TPU fast path)
+    bokeh: object = None  # optional BokehMask for aperture-shaped DoF
+
+
+from flax import struct as _struct
+
+
+@_struct.dataclass
+class BokehMask:
+    """Aperture/bokeh mask for thin-lens sampling (BASELINE config 2).
+
+    Lens points are importance-sampled proportional to the mask value
+    (bokeh/octagonbokeh.png) instead of a uniform disk.
+    """
+
+    cdf: jnp.ndarray  # (H*W,) inclusive value CDF
+    width: int = _struct.field(pytree_node=False, default=1)
+    height: int = _struct.field(pytree_node=False, default=1)
+
+    @staticmethod
+    def from_texture(values) -> "BokehMask":
+        import numpy as _np
+
+        v = _np.asarray(values, _np.float64).ravel()
+        cdf = _np.cumsum(v)
+        cdf = cdf / cdf[-1]
+        h, w = values.shape
+        return BokehMask(cdf=jnp.asarray(cdf, jnp.float32), width=w, height=h)
+
+    def sample(self, u):
+        """u (N,) uniforms -> lens points (N, 2) in [-0.5, 0.5]^2."""
+        idx = jnp.clip(jnp.searchsorted(self.cdf, u, side="right"), 0, self.cdf.shape[0] - 1)
+        y = idx // self.width
+        x = idx % self.width
+        return jnp.stack(
+            [x.astype(jnp.float32) / self.width - 0.5, y.astype(jnp.float32) / self.height - 0.5],
+            axis=-1,
+        )
 
 
 def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
@@ -246,7 +283,12 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     x = (px.astype(jnp.float32) + jx) / width
     y = (py.astype(jnp.float32) + jy) / height
 
-    if settings.use_thin_lens:
+    if settings.use_thin_lens and bundle.bokeh is not None:
+        from ..scene.camera import generate_rays_bokeh
+
+        lens_u = _uniforms(_fold(keys, 1), n_lanes, ())
+        o, d = generate_rays_bokeh(cam, x, y, bundle.bokeh.sample(lens_u))
+    elif settings.use_thin_lens:
         lens_u = _uniforms(_fold(keys, 1), n_lanes, (2,))
         o, d = generate_rays_thin_lens(cam, x, y, lens_u[:, 0], lens_u[:, 1])
     else:

@@ -40,11 +40,12 @@ def _sort3_by_y(vx, vy, vu, vv):
     return vx, vy, vu, vv
 
 
-def _raster_triangle(tex, width, height, vx, vy, vu, vv, color, xs, ys):
+def _raster_triangle(tex, width, height, vx, vy, vu, vv, color, xs, ys, smooth=False, smooth_eps=0.05):
     """One textured triangle -> (H*W, 3) additive contribution.
 
     tex: (h_a, w_a); vx/vy/vu/vv: (3,) vertex coords + uvs; color: (3,);
-    xs, ys: (P,) integer pixel coords of the film.
+    xs, ys: (P,) integer pixel coords of the film.  ``smooth=True`` switches
+    to the differentiable bilinear/soft-edge variant.
     """
     vx, vy, vu, vv = _sort3_by_y(vx, vy, vu, vv)
     # pixel centers as integer coords (rasterize:383-388)
@@ -79,8 +80,33 @@ def _raster_triangle(tex, width, height, vx, vy, vu, vv, color, xs, ys):
     u = u2 * alpha + u0 * beta + u1 * gamma
     v = v2 * alpha + v0 * beta + v1 * gamma
 
-    # nearest fetch: pixels[int(floor(v) * w_a + u)] (fill_textured_pixel:338)
     h_a, w_a = tex.shape
+    if smooth:
+        # differentiable variant: bilinear fetch + sigmoid edge functions —
+        # used by the lens-design optimization loop where the reference's
+        # floor-indexed nearest fetch would give piecewise-constant gradients
+        edge = jnp.minimum(jnp.minimum(alpha, beta), gamma)
+        soft_inside = jax.nn.sigmoid(edge / smooth_eps)
+        x0f = jnp.clip(u - 0.5, 0.0, w_a - 1.001)
+        y0f = jnp.clip(v - 0.5, 0.0, h_a - 1.001)
+        xi = jnp.floor(x0f).astype(jnp.int32)
+        yi = jnp.floor(y0f).astype(jnp.int32)
+        fx = x0f - xi
+        fy = y0f - yi
+        t00 = tex[yi, xi]
+        t01 = tex[yi, jnp.minimum(xi + 1, w_a - 1)]
+        t10 = tex[jnp.minimum(yi + 1, h_a - 1), xi]
+        t11 = tex[jnp.minimum(yi + 1, h_a - 1), jnp.minimum(xi + 1, w_a - 1)]
+        sample = (
+            t00 * (1 - fx) * (1 - fy)
+            + t01 * fx * (1 - fy)
+            + t10 * (1 - fx) * fy
+            + t11 * fx * fy
+        )
+        weight = jnp.where(in_box, sample * soft_inside, 0.0)
+        return weight[:, None] * color
+
+    # nearest fetch: pixels[int(floor(v) * w_a + u)] (fill_textured_pixel:338)
     flat_idx = jnp.floor(v) * w_a + u
     flat_idx = jnp.clip(flat_idx.astype(jnp.int32), 0, h_a * w_a - 1)
     sample = tex.reshape(-1)[flat_idx]
@@ -113,12 +139,13 @@ def ghost_corners(r1, r2, axis_ray, width, height):
     return gb_mid_x + rx, gb_mid_y + ry, intensity
 
 
-def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height):
+def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height, smooth=False):
     """Accumulate all ghosts into a ghost buffer (generate_ghost_buffer).
 
     tex: (h_a, w_a) ghost-aperture mask; r1s/r2s: (G,) sensor footprints;
     colors: (G, 3) pure-channel colors (unit); axis_ray: (2,) sun ns coords.
-    Returns (H, W, 3).
+    Returns (H, W, 3).  ``smooth=True``: differentiable splatting for the
+    lens-design loop.
     """
     h_a, w_a = tex.shape
     ys, xs = jnp.mgrid[0:height, 0:width]
@@ -141,6 +168,7 @@ def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height):
             col,
             xs,
             ys,
+            smooth=smooth,
         )
         # triangle 2: (lr, uv 0,0), (ll, uv 0,h), (ur, uv w,0)  [draw_ghost:498]
         t2 = _raster_triangle(
@@ -154,6 +182,7 @@ def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height):
             col,
             xs,
             ys,
+            smooth=smooth,
         )
         return buf + t1 + t2, None
 

@@ -48,7 +48,7 @@ def ghost_image_from_lens(lens, ghost_tex, axis_ray, angle, width, height):
     r1, r2 = trace_all_ghosts(lens, angle)
     n_pairs = r1.shape[0]
     colors = jnp.tile(jnp.eye(3), (n_pairs, 1))
-    return splat_ghosts(ghost_tex, r1.reshape(-1), r2.reshape(-1), colors, axis_ray, width, height)
+    return splat_ghosts(ghost_tex, r1.reshape(-1), r2.reshape(-1), colors, axis_ray, width, height, smooth=True)
 
 
 def make_train_step(optimizer, ghost_tex, axis_ray, angle, width, height, mesh=None):

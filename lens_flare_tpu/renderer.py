@@ -54,6 +54,7 @@ class Renderer:
     envmap: np.ndarray | None = None
     aperture_path: str | None = None
     ghost_aperture_path: str | None = None
+    bokeh_path: str | None = None  # aperture-shaped DoF mask (config 2)
     flare_intensity: float = 0.0
     flare_radius: float = 0.0
     camera_settings: str | None = None
@@ -127,12 +128,20 @@ class Renderer:
                 wb, self.scene.sph_center, self.scene.sph_radius, self.scene.num_triangles
             )
 
+        bokeh = None
+        if self.bokeh_path and self.lens_radius > 0:
+            from .integrator.path import BokehMask
+            from .lens.aperture import ApertureTexture
+
+            bokeh = BokehMask.from_texture(ApertureTexture.load(self.bokeh_path).values)
+
         self.bundle = SceneBundle(
             scene=scene_to_device(self.scene, bvh),
             bsdfs=bsdf_to_device(self.scene.bsdfs),
             lights=lights_to_device(self.scene.lights),
             env=env,
             pscene=pscene,
+            bokeh=bokeh,
         )
         self.settings = make_settings(
             self.scene.lights,

@@ -1,0 +1,218 @@
+"""Thin-lens/bokeh cameras, realistic lens stack, finite-difference gradients,
+adaptive sampling, and the lens-design optimization loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lens_flare_tpu.integrator.path import BokehMask
+from lens_flare_tpu.lens.prescription import reference_prescription
+from lens_flare_tpu.lens.realistic import (
+    fresnel_dielectric,
+    render_ghosts_stack,
+    surface_z,
+    trace_ghost_stack,
+)
+from lens_flare_tpu.scene.camera import (
+    Camera,
+    CameraParams,
+    generate_rays,
+    generate_rays_thin_lens,
+)
+
+
+def _cam():
+    cam = Camera()
+    cam.place(np.zeros(3), np.pi / 2, 0.0, 5.0, 0.1, 50.0)
+    cam.lens_radius = 0.2
+    cam.focal_distance = 5.0
+    cam.h_fov = cam.v_fov = 60.0
+    return cam.params()
+
+
+def test_thin_lens_focuses_at_focal_plane():
+    """All lens samples for one sensor point converge at the focal plane."""
+    cam = _cam()
+    n = 64
+    x = jnp.full(n, 0.3)
+    y = jnp.full(n, 0.7)
+    rng = np.random.default_rng(0)
+    o, d = generate_rays_thin_lens(
+        cam, x, y, jnp.asarray(rng.uniform(size=n), jnp.float32), jnp.asarray(rng.uniform(size=n), jnp.float32)
+    )
+    o = np.asarray(o)
+    d = np.asarray(d)
+    # the pinhole ray hits the focal plane at p_focus
+    o0, d0 = generate_rays(cam, x[:1], y[:1])
+    # focal point: travel along the pinhole dir until camera-space z = -focalDistance
+    # easier: all thin-lens rays must intersect in one point: solve pairwise
+    t_star = []
+    for i in range(1, 8):
+        # find t minimizing distance between ray 0 and ray i
+        w0 = o[0] - o[i]
+        a = d[0] @ d[0]
+        b = d[0] @ d[i]
+        c = d[i] @ d[i]
+        dd = d[0] @ w0
+        e = d[i] @ w0
+        denom = a * c - b * b
+        t0 = (b * e - c * dd) / denom
+        p = o[0] + t0 * d[0]
+        t_star.append(p)
+    t_star = np.asarray(t_star)
+    assert np.max(np.std(t_star, axis=0)) < 1e-3  # single convergence point
+
+
+def test_bokeh_mask_sampling_matches_mask():
+    mask = np.zeros((16, 16), np.float32)
+    mask[2:6, 10:14] = 1.0  # only one square region transparent
+    bm = BokehMask.from_texture(mask)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (4096,))
+    uv = np.asarray(bm.sample(u))
+    # all sampled points inside the square (in [-0.5, .5] coords)
+    assert (uv[:, 0] >= 10 / 16 - 0.5 - 1e-6).all() and (uv[:, 0] <= 14 / 16 - 0.5).all()
+    assert (uv[:, 1] >= 2 / 16 - 0.5 - 1e-6).all() and (uv[:, 1] <= 6 / 16 - 0.5).all()
+
+
+def test_fresnel_dielectric_limits():
+    # normal incidence: R = ((n1-n2)/(n1+n2))^2
+    r0 = float(fresnel_dielectric(jnp.asarray(1.0), 1.0, 1.5))
+    np.testing.assert_allclose(r0, ((1 - 1.5) / (1 + 1.5)) ** 2, rtol=1e-6)
+    # grazing: R -> 1
+    rg = float(fresnel_dielectric(jnp.asarray(0.001), 1.0, 1.5))
+    assert rg > 0.95
+    # TIR from dense side
+    rt = float(fresnel_dielectric(jnp.asarray(0.3), 1.5, 1.0))
+    assert rt == 1.0
+
+
+def test_lens_stack_axial_ray():
+    """An on-axis ray through pair (0,1) stays on axis and keeps energy <= 1."""
+    lens = reference_prescription()
+    o = jnp.asarray([[0.0, 0.0, -1.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    tr = trace_ghost_stack(lens, o, d, color=1, pair=(0, 1))
+    xy = np.asarray(tr.xy[0])
+    e = float(tr.energy[0])
+    np.testing.assert_allclose(xy, 0.0, atol=1e-4)
+    assert 0.0 < e < 0.05  # two Fresnel reflections ~ (4%)^2 with transmissions
+
+
+def test_lens_stack_vignetting():
+    """Rays far off-axis get clipped by the iris (energy 0)."""
+    lens = reference_prescription()
+    o = jnp.asarray([[30.0, 0.0, -1.0]])  # outside every element
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    tr = trace_ghost_stack(lens, o, d, color=0, pair=(0, 1))
+    assert float(tr.energy[0]) == 0.0
+
+
+def test_render_ghosts_stack_produces_image():
+    lens = reference_prescription()
+    img = render_ghosts_stack(
+        lens,
+        jnp.float32(0.3),
+        jnp.asarray([1.0, 0.9, 0.7]),
+        jnp.asarray([0.6, 0.55]),
+        64,
+        64,
+        pupil_samples=12,
+    )
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.sum() > 0
+
+
+def test_finite_difference_gradient_matches():
+    """jax.grad == central finite differences through the optical chain
+    (BASELINE north star).  Checked on the smooth paraxial trace in f64;
+    the rasterizer's nearest-neighbor fetch is piecewise-constant so FD
+    noise there is expected and not a gradient bug."""
+    from lens_flare_tpu.lens.paraxial import trace_all_ghosts
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        lens = reference_prescription(jnp.float64)
+
+        def smooth_loss(lens):
+            r1, r2 = trace_all_ghosts(lens, 0.4)
+            return jnp.sum(jnp.tanh(r1 / 100.0) ** 2) + jnp.sum(jnp.tanh(r2 / 100.0) ** 2)
+
+        g = jax.grad(smooth_loss)(lens)
+        for field in ("spacings", "curvatures"):
+            arr = np.asarray(getattr(lens, field))
+            garr = np.asarray(getattr(g, field))
+            for idx in range(0, len(arr), 3):
+                eps = 1e-6 * max(abs(arr[idx]), 1.0)
+                lp = lens.replace(**{field: jnp.asarray(arr).at[idx].add(eps)})
+                lm = lens.replace(**{field: jnp.asarray(arr).at[idx].add(-eps)})
+                fd = (float(smooth_loss(lp)) - float(smooth_loss(lm))) / (2 * eps)
+                an = float(garr[idx])
+                assert abs(fd - an) <= 1e-4 * max(abs(fd), abs(an), 1.0), (field, idx, fd, an)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_optimize_lens_reduces_loss(tmp_path):
+    from lens_flare_tpu.diff.optimize import OptimizeConfig, ghost_image, optimize_lens
+
+    tex = jnp.ones((8, 8), jnp.float32) * 0.8
+    axis = jnp.asarray([0.6, 0.55])
+    angle = 0.35
+
+    # target: ghosts of a perturbed lens
+    target_lens = reference_prescription()
+    target_lens = target_lens.replace(spacings=target_lens.spacings * 1.03)
+    target = ghost_image(target_lens, tex, axis, angle, 48, 48)
+
+    cfg = OptimizeConfig(steps=30, learning_rate=1e-4, log_every=0, checkpoint_dir=str(tmp_path / "ck"))
+    lens, losses = optimize_lens(target, tex, axis, angle, cfg)
+    assert losses[-1] < losses[0] * 0.2, losses[:3] + losses[-3:]
+
+    # checkpoint resume: continuing from disk starts at the saved step
+    cfg2 = OptimizeConfig(steps=35, learning_rate=1e-4, log_every=0, checkpoint_dir=str(tmp_path / "ck"))
+    lens2, losses2 = optimize_lens(target, tex, axis, angle, cfg2)
+    assert len(losses2) == 5  # only the remaining steps ran
+
+
+def test_adaptive_sampling_stops_early(pyramid_scene):
+    """Converged pixels stop sampling before ns_aa (pathtracer.cpp:862-868)."""
+    from lens_flare_tpu.accel import build_bvh
+    from lens_flare_tpu.integrator.lights import lights_to_device
+    from lens_flare_tpu.integrator.path import SceneBundle, make_settings, render_wavefront
+    from lens_flare_tpu.integrator.shading import bsdf_to_device
+    from lens_flare_tpu.ops import scene_to_device
+    from lens_flare_tpu.scene.camera import place_from_scene_info
+
+    scene, info = pyramid_scene
+    lo, hi = scene.primitive_bboxes()
+    bundle = SceneBundle(
+        scene=scene_to_device(scene, build_bvh(lo, hi)),
+        bsdfs=bsdf_to_device(scene.bsdfs),
+        lights=lights_to_device(scene.lights),
+        env=None,
+    )
+    settings = make_settings(
+        scene.lights,
+        ns_aa=64,
+        max_ray_depth=1,
+        ns_area_light=1,
+        indirect=False,
+        samples_per_batch=8,
+        max_tolerance=0.5,  # loose: delta-light pixels converge immediately
+    )
+    cam = Camera()
+    cam.configure(info.camera, 16, 16)
+    place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+
+    ys, xs = np.mgrid[0:16, 0:16]
+    rad, cnt = jax.jit(
+        lambda px, py: render_wavefront(
+            bundle, settings, cam.params(), px, py, 16, 16, jax.random.PRNGKey(0)
+        )
+    )(jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()))
+    cnt = np.asarray(cnt)
+    assert cnt.min() >= 8  # at least one batch everywhere
+    assert (cnt < 64).any()  # some pixels stopped early
+    assert cnt.max() <= 64
