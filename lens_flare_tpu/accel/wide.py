@@ -59,11 +59,24 @@ def _median_partition(order, centroids, n_parts):
 
 
 def choose_shape(n_tris: int) -> tuple[int, int, int]:
-    """(B1, B2, K) sized to the scene: capacity B1*B2*K >= n_tris."""
-    for b1, b2, k in [(16, 16, 8), (32, 32, 8), (64, 64, 8), (64, 64, 16), (64, 64, 32), (128, 64, 32), (128, 128, 32)]:
+    """(B1, B2, K) sized to the scene: capacity B1*B2*K >= n_tris.
+
+    Large K with few clusters measures fastest on TPU: the per-cluster loop
+    overhead (scalar reads + branches) dominates over the extra vector
+    intersection math of coarse leaves, so prefer K=128-wide chunks.
+    """
+    for b1, b2, k in [
+        (16, 16, 8),
+        (16, 16, 32),
+        (16, 16, 128),
+        (16, 32, 128),
+        (32, 32, 128),
+        (32, 64, 128),
+        (64, 64, 128),
+    ]:
         if b1 * b2 * k >= max(n_tris, 1):
             return b1, b2, k
-    return 128, 128, 64  # 1M triangles
+    return 64, 64, 256  # ~1M triangles (VMEM permitting)
 
 
 def build_wide_bvh(tri_p: np.ndarray, b1: int | None = None, b2: int | None = None, k: int | None = None) -> WideBVH:

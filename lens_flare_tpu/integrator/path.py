@@ -162,6 +162,9 @@ def trace_occluded(bundle: SceneBundle, o, d, t_lo, t_hi):
     if bundle.pscene is not None:
         from ..ops.intersect_pallas import intersect_pallas
 
+        # NOTE: the any-hit early-exit variant measured slower on mostly
+        # unoccluded shadow wavefronts (while-loop overhead); closest-hit
+        # reuse wins on balance.
         _, prim, _, _, found = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
         return found
     return occluded_rays(bundle.scene, o, d, t_lo, t_hi)

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracers
-TILE = 512
+TILE = 1024
 
 
 def _safe_inv(d):
@@ -52,7 +52,7 @@ def _box_hits(boxes, o, inv_d, t_lo, t_hi):
     return (t_min <= t_max) & (t_max >= t_lo) & (t_min <= t_hi)
 
 
-def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int):
+def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hit: bool = False):
     def kernel(
         rays_ref,  # (8, TILE) [ox oy oz dx dy dz tlo thi]
         top_ref,  # (B1, 8)
@@ -169,9 +169,16 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int):
 
                 jax.lax.fori_loop(0, b2, child_body, 0)
 
-            return 0
+            return t_idx + 1
 
-        jax.lax.fori_loop(0, b1, top_body, 0)
+        if any_hit:
+            # shadow rays: stop as soon as every lane found an occluder
+            def top_cond(t_idx):
+                return (t_idx < b1) & jnp.logical_not(jnp.all(out_prim_ref[:] >= 0))
+
+            jax.lax.while_loop(top_cond, lambda t: top_body(t, None), 0)
+        else:
+            jax.lax.fori_loop(0, b1, top_body, 0)
 
         # --- spheres, brute force (sphere.cpp:11-111) ---
         sph = sph_ref[:]
@@ -238,10 +245,10 @@ class PallasScene:
         self.n_spheres = n_sph
 
 
-@partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret"))
-def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, interpret=False):
+@partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit"))
+def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, interpret=False, any_hit=False):
     n_tiles = rays.shape[1] // TILE
-    kernel = _make_kernel(b1, b2, k, n_spheres, num_tris)
+    kernel = _make_kernel(b1, b2, k, n_spheres, num_tris, any_hit=any_hit)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
@@ -277,7 +284,7 @@ def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, 
     return out_t, out_prim, out_bary
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit) with N lanes.
 
     N is padded internally to a TILE multiple.
@@ -302,6 +309,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False):
         n_spheres=pscene.n_spheres,
         num_tris=pscene.num_tris,
         interpret=interpret,
+        any_hit=any_hit,
     )
     t = out_t[0, :n]
     prim = out_prim[0, :n]

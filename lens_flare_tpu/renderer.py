@@ -180,6 +180,18 @@ class Renderer:
         ys, xs = np.mgrid[y0 : y0 + dy, x0 : x0 + dx]
         xs = xs.ravel()
         ys = ys.ravel()
+        # block-linearize pixels into 32x32 tiles (the reference's tile size,
+        # raytraced_renderer.cpp imageTileSize): coherent rays share cluster
+        # walks in the packet kernel
+        bs = 32
+        order = np.argsort(
+            ((ys // bs) * ((w + bs - 1) // bs) + (xs // bs)) * bs * bs
+            + (ys % bs) * bs
+            + (xs % bs),
+            kind="stable",
+        )
+        xs = xs[order]
+        ys = ys[order]
         n_px = len(xs)
 
         film = np.zeros((h, w, 3), np.float32)
