@@ -74,6 +74,8 @@ class FlarePipeline:
     flare_intensity: float = 0.0
     flare_radius: float = 0.0
     falloff_key: int = 0
+    ghost_scale: int = 1  # >1: subsampled ghost buffer (speed knob)
+    _fft_cache: object = None
 
     @classmethod
     def from_renderer(cls, renderer) -> "FlarePipeline | None":
@@ -103,6 +105,7 @@ class FlarePipeline:
             flare_intensity=renderer.flare_intensity,
             flare_radius=renderer.flare_radius,
             falloff_key=renderer.seed,
+            ghost_scale=getattr(renderer, "flare_ghost_scale", 1),
         )
 
     # ------------------------------------------------------------------
@@ -129,6 +132,7 @@ class FlarePipeline:
             jnp.asarray(self.axis_ray, jnp.float32),
             self.width,
             self.height,
+            scale=self.ghost_scale,
         )
 
     def starburst(self) -> jnp.ndarray:
@@ -139,7 +143,9 @@ class FlarePipeline:
             or len(self.flare_origins) == 0
         ):
             return jnp.zeros((self.height, self.width, 3))
-        fft_mag = aperture_fft(jnp.asarray(self.aperture.values))
+        if self._fft_cache is None:
+            object.__setattr__(self, "_fft_cache", aperture_fft(jnp.asarray(self.aperture.values)))
+        fft_mag = self._fft_cache
         return starburst_field(
             fft_mag,
             jnp.float32(self.aperture.total_value),

@@ -65,20 +65,29 @@ def starburst_field(
     ys = jnp.arange(height)
     x, y = jnp.meshgrid(xs, ys)  # (H, W)
 
-    # convertCoordinate (pathtracer.cpp:933-945): integer fold
-    x_p = jnp.where(x - width // 2 >= 0, x - width // 2, x + width - width // 2)
-    y_fold = height // 2 - y
-    y_p = jnp.where(y_fold >= 0, y_fold, height + y_fold)
-
     # compute_phase (pathtracer.cpp:917-931)
     lr = jnp.ceil(flare_origin_ns[0] * width)
     ud = jnp.ceil(flare_origin_ns[1] * height)
     lr_c = lr - width / 2.0
     ud_c = height / 2.0 - ud
 
-    dx = (x_p - lr_c).astype(jnp.int32)
-    dy = (y_p - ud_c).astype(jnp.int32)
-    mag = fft_mag[jnp.mod(dy, ap_width), jnp.mod(dx, ap_width)] / total_value
+    # The per-pixel table lookup F[(y'-ud_c) mod A, (x'-lr_c) mod A] with the
+    # convertCoordinate folds x' = (x+W/2) mod W, y' = (H/2-y) mod H is a
+    # 2M-element gather at 1080p — slow on TPU.  It factorizes gather-free:
+    # tile F, dynamic-slice at the scalar offsets, then apply the folds as
+    # roll/flip of whole axes (W, H even; exactness tested vs the DFT oracle).
+    a = ap_width
+    ty = -(-(height + a) // a)
+    tx = -(-(width + a) // a)
+    tiled = jnp.tile(fft_mag, (ty, tx))
+    s_x = jnp.mod(-lr_c.astype(jnp.int32), a)
+    s_y = jnp.mod(-ud_c.astype(jnp.int32), a)
+    base = jax.lax.dynamic_slice(tiled, (s_y, s_x), (height, width))
+    # x fold: S[:, x] = base[:, (x + W/2) mod W]
+    base = jnp.roll(base, -(width // 2), axis=1)
+    # y fold: S[y] = base[(H/2 - y) mod H] = roll(flip(base), 1 - H/2)
+    base = jnp.roll(jnp.flip(base, axis=0), 1 - height // 2, axis=0)
+    mag = base / total_value
 
     # suppression / amplification (pathtracer.cpp:976-992)
     dist = jnp.sqrt((lr - x) ** 2 + (ud - y) ** 2)

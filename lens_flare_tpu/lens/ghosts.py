@@ -139,18 +139,40 @@ def ghost_corners(r1, r2, axis_ray, width, height):
     return gb_mid_x + rx, gb_mid_y + ry, intensity
 
 
-def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height, smooth=False):
+def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height, smooth=False, scale=1):
     """Accumulate all ghosts into a ghost buffer (generate_ghost_buffer).
 
     tex: (h_a, w_a) ghost-aperture mask; r1s/r2s: (G,) sensor footprints;
     colors: (G, 3) pure-channel colors (unit); axis_ray: (2,) sun ns coords.
     Returns (H, W, 3).  ``smooth=True``: differentiable splatting for the
-    lens-design loop.
+    lens-design loop.  ``scale>1``: evaluate the (pointwise) splat functions
+    on a 1/scale subsampled pixel grid and bilinearly upsample — a speed
+    knob for large films (the per-pixel texture fetch is gather-bound).
     """
     h_a, w_a = tex.shape
+    if scale > 1:
+        sub_h = height // scale
+        sub_w = width // scale
+        ys, xs = jnp.mgrid[0:sub_h, 0:sub_w]
+        xs = (xs * scale + scale // 2).reshape(-1)
+        ys = (ys * scale + scale // 2).reshape(-1)
+        sub = splat_eval(tex, r1s, r2s, colors, axis_ray, width, height, xs, ys, smooth)
+        sub = sub.reshape(sub_h, sub_w, 3)
+        import jax.image
+
+        return jax.image.resize(sub, (height, width, 3), method="bilinear")
+
     ys, xs = jnp.mgrid[0:height, 0:width]
     xs = xs.reshape(-1)
     ys = ys.reshape(-1)
+    return splat_eval(tex, r1s, r2s, colors, axis_ray, width, height, xs, ys, smooth).reshape(
+        height, width, 3
+    )
+
+
+def splat_eval(tex, r1s, r2s, colors, axis_ray, width, height, xs, ys, smooth=False):
+    """Evaluate the additive ghost field at arbitrary pixel coords (P,)."""
+    h_a, w_a = tex.shape
 
     def one_ghost(buf, ghost):
         r1, r2, color = ghost
@@ -186,6 +208,6 @@ def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height, smooth=False):
         )
         return buf + t1 + t2, None
 
-    buf = jnp.zeros((height * width, 3))
+    buf = jnp.zeros((xs.shape[0], 3))
     buf, _ = jax.lax.scan(one_ghost, buf, (r1s, r2s, colors))
-    return buf.reshape(height, width, 3)
+    return buf

@@ -57,6 +57,7 @@ class Renderer:
     bokeh_path: str | None = None  # aperture-shaped DoF mask (config 2)
     flare_intensity: float = 0.0
     flare_radius: float = 0.0
+    flare_ghost_scale: int = 1  # >1: subsampled ghost buffer (speed)
     camera_settings: str | None = None
     bvh_method: str = "sah"
     tile_pixels: int = 1 << 16  # wavefront width per launch
