@@ -89,17 +89,24 @@ def starburst_field(
     base = jnp.roll(jnp.flip(base, axis=0), 1 - height // 2, axis=0)
     mag = base / total_value
 
-    # suppression / amplification (pathtracer.cpp:976-992)
+    # suppression / amplification (pathtracer.cpp:976-992).  Selected-branch
+    # inputs are sanitized before the pow so gradients through the unselected
+    # where-branches stay finite (aperture-mask optimization, config 5).
+    xs = jnp.arange(width)
+    ys = jnp.arange(height)
+    x, y = jnp.meshgrid(xs, ys)
     dist = jnp.sqrt((lr - x) ** 2 + (ud - y) ** 2)
     half_ap = ap_width / 2.0
-    suppress = (half_ap / jnp.maximum(dist, 1e-12)) ** 8
-    mag_far = suppress * mag
-    mag_near = jnp.where(
-        flare_radius > 0,
-        jnp.maximum(mag, 1e-30) ** (dist / jnp.maximum(flare_radius, 1e-12)),
-        mag,
-    )
-    mag = jnp.where(dist > half_ap, mag_far, jnp.where(dist <= flare_radius, mag_near, mag))
+
+    far_sel = dist > half_ap
+    safe_dist = jnp.where(far_sel, jnp.maximum(dist, 1e-6), 1.0)
+    mag_far = (half_ap / safe_dist) ** 8 * mag
+
+    near_sel = jnp.logical_not(far_sel) & (dist <= flare_radius) & (flare_radius > 0)
+    safe_mag = jnp.where(near_sel, jnp.maximum(mag, 1e-20), 1.0)
+    mag_near = safe_mag ** (dist / jnp.maximum(flare_radius, 1e-12))
+
+    mag = jnp.where(far_sel, mag_far, jnp.where(near_sel, mag_near, mag))
 
     intensity = 3.0 - flare_intensity
     intensity = jnp.where(intensity <= 0, 2.0, intensity)

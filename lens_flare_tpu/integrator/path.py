@@ -47,6 +47,18 @@ from .shading import (
 
 EPS_F = jnp.float32(0.00001)
 CPDF = 0.7  # russian-roulette continuation probability (pathtracer.cpp:245)
+# f32-native shadow bias: the reference's absolute EPS_F works in its double
+# precision; in float32 the reconstructed hit point can sit past EPS_F on the
+# wrong side of its own surface (acne).  Secondary-ray origins are offset
+# along the normal, scaled with the hit point's magnitude.
+SHADOW_BIAS = 1e-4
+
+
+def _offset_origin(p, n, w):
+    """Offset p along n toward the side that w points to (secondary rays)."""
+    side = jnp.sign(jnp.sum(n * w, axis=-1, keepdims=True))
+    scale = SHADOW_BIAS * jnp.maximum(1.0, jnp.max(jnp.abs(p), axis=-1, keepdims=True))
+    return p + n * side * scale
 
 
 class RenderSettings(NamedTuple):
@@ -218,9 +230,10 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, 
     wi_obj = world_to_local(o2w_b, ls.wi)
     facing = wi_obj[:, 2] >= 0  # dot(wi_obj, z) < 0 -> skip (pathtracer.cpp:186)
 
+    n_b = jnp.broadcast_to(n, (n_slots, n_pts, 3)).reshape(-1, 3)
     occ = trace_occluded(
         bundle,
-        pts,
+        _offset_origin(pts, n_b, ls.wi),
         ls.wi,
         jnp.full(n_slots * n_pts, EPS_F),
         ls.dist - EPS_F,
@@ -348,7 +361,7 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
         hit_p = cur_o + cur_d * cur_hit.t[:, None]
         nxt = trace_closest(
             bundle,
-            hit_p,
+            _offset_origin(hit_p, cur_hit.n, wi_world),
             wi_world,
             jnp.full(n_lanes, EPS_F),
             jnp.full(n_lanes, 1e30),

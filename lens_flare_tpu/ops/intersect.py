@@ -155,8 +155,15 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
 
         def body(state):
             stack, sp, best_t, best_prim, best_b1, best_b2, found = state
-            node = stack[sp - 1]
-            sp = sp - 1
+            # vmap lockstep: the body also runs for lanes whose own cond is
+            # false (sp == 0, or any-hit already found).  Without this guard
+            # such lanes pop with sp-1 == -1 (clamped reads), "resurrect" by
+            # pushing children, and mutate their results.
+            lane_active = sp > 0
+            if any_hit:
+                lane_active = lane_active & jnp.logical_not(found)
+            node = stack[jnp.maximum(sp - 1, 0)]
+            sp = jnp.where(lane_active, sp - 1, sp)
 
             count = scene.node_count[node]
             is_leaf = count > 0
@@ -178,7 +185,7 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
                     sv, st = _sph_test(scene, sph_idx, o, d, t_lo, jnp.minimum(t_hi, best_t))
                 else:
                     sv, st = False, INF
-                valid = valid_slot & is_leaf & jnp.where(is_tri, tv, sv)
+                valid = valid_slot & is_leaf & lane_active & jnp.where(is_tri, tv, sv)
                 t = jnp.where(is_tri, tt, st)
                 better = valid & (t < best_t)
                 best_t = jnp.where(better, t, best_t)
@@ -202,7 +209,7 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
             r_ok, r_t = _ray_box(
                 o, inv_d, scene.node_min[right], scene.node_max[right], t_lo, limit
             )
-            interior = jnp.logical_not(is_leaf)
+            interior = jnp.logical_not(is_leaf) & lane_active
             l_ok = l_ok & interior & (left >= 0)
             r_ok = r_ok & interior & (right >= 0)
 
