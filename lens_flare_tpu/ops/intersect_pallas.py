@@ -58,7 +58,6 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
         top_ref,  # (B1, 8)
         child_ref,  # (B1*B2, 8)
         tri_ref,  # (9*K, B1*B2) component-major planes
-        tri_id_ref,  # (K, B1*B2) int32
         sph_ref,  # (max(S,1), 8) [cx cy cz r ...]
         out_t_ref,  # (1, TILE)
         out_prim_ref,  # (1, TILE) int32
@@ -104,10 +103,10 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
                         col = jnp.sum(
                             tri_block * onehot.astype(jnp.float32), axis=1, keepdims=True
                         )  # (9K, 1)
-                        id_block = tri_id_ref[:, pl.ds(base, 128)]  # (K, 128)
-                        ids = jnp.sum(
-                            jnp.where(onehot, id_block, 0), axis=1, keepdims=True
-                        )  # (K, 1)
+                        # slot ids node*K + k; mapped to primitive ids by a
+                        # small gather OUTSIDE the kernel (keeps the id table
+                        # out of VMEM — it was the budget breaker at 256k tris)
+                        ids = node * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
                         lane_mask = ch_ref[pl.ds(c_idx, 1), :] != 0  # (1, TILE)
 
                         comp = [col[pl_j * k : (pl_j + 1) * k] for pl_j in range(9)]
@@ -202,7 +201,7 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
             improved = valid & (ts < best_t)
             out_t_ref[:] = jnp.where(improved, ts, best_t)
             out_prim_ref[:] = jnp.where(
-                improved, jnp.int32(num_tris + s_idx), out_prim_ref[:]
+                improved, jnp.int32(b1 * b2 * k + s_idx), out_prim_ref[:]
             )
 
     return kernel
@@ -229,9 +228,14 @@ class PallasScene:
             soa.transpose(2, 1, 0)[:9].reshape(9 * k, n_nodes)
         )
         self.tri = jnp.asarray(planes)  # (9*K, B_nodes)
-        self.tri_id = jnp.asarray(
-            np.ascontiguousarray(wide_bvh.tri_id.reshape(n_nodes, k).T)
-        )  # (K, B_nodes)
+        # slot -> primitive id map, applied outside the kernel; sphere slots
+        # appended after the b1*b2*k triangle slots
+        n_sph = len(sph_center)
+        slot_map = np.concatenate([
+            wide_bvh.tri_id.astype(np.int32),
+            (num_tris + np.arange(max(n_sph, 1))).astype(np.int32),
+        ])
+        self.slot_map = jnp.asarray(slot_map)
         self.b1 = b1
         self.b2 = b2
         self.k = k
@@ -246,7 +250,7 @@ class PallasScene:
 
 
 @partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit"))
-def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, interpret=False, any_hit=False):
+def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpret=False, any_hit=False):
     n_tiles = rays.shape[1] // TILE
     kernel = _make_kernel(b1, b2, k, n_spheres, num_tris, any_hit=any_hit)
     grid_spec = pl.GridSpec(
@@ -256,7 +260,6 @@ def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, 
             pl.BlockSpec((top.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((child.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tri_id.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -280,7 +283,7 @@ def _launch(rays, top, child, tri, tri_id, sph, b1, b2, k, n_spheres, num_tris, 
             jax.ShapeDtypeStruct((1, n), jnp.int32),
             jax.ShapeDtypeStruct((2, n), jnp.float32),
         ],
-    )(rays, top, child, tri, tri_id, sph)
+    )(rays, top, child, tri, sph)
     return out_t, out_prim, out_bary
 
 
@@ -301,7 +304,6 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         pscene.top,
         pscene.child,
         pscene.tri,
-        pscene.tri_id,
         pscene.sph,
         b1=pscene.b1,
         b2=pscene.b2,
@@ -312,8 +314,9 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         any_hit=any_hit,
     )
     t = out_t[0, :n]
-    prim = out_prim[0, :n]
+    slot = out_prim[0, :n]
+    hit = slot >= 0
+    prim = jnp.where(hit, pscene.slot_map[jnp.maximum(slot, 0)], -1)
     b1v = out_bary[0, :n]
     b2v = out_bary[1, :n]
-    hit = prim >= 0
     return t, prim, b1v, b2v, hit
