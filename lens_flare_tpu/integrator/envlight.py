@@ -48,6 +48,19 @@ def build_env(envmap: np.ndarray) -> EnvLightArrays:
     )
 
 
+def save_probability_debug(env: EnvLightArrays, path="probability_debug.png") -> None:
+    """CDF debug image (environment_light.cpp:71-86): R = marginal, G = conditional."""
+    import numpy as np
+
+    from ..utils.image import save_png
+
+    h, w = env.pdf_map.shape
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = np.asarray(env.marginal_y)[:, None]
+    img[..., 1] = np.asarray(env.conds_y)
+    save_png(path, np.clip(img, 0, 1))
+
+
 def sample_env(env: EnvLightArrays, u) -> EnvSample:
     """Importance sample (environment_light.cpp:143-171). u: (N,2)."""
     h, w = env.pdf_map.shape

@@ -84,6 +84,23 @@ class Renderer:
         self.camera.focal_distance = self.focal_distance
         self._build()
 
+    def load_flat_scene(self, scene: FlatScene, camera: Camera | None = None) -> None:
+        """Use an already-built FlatScene (procedural scenes, tests)."""
+        self.scene = scene
+        if camera is not None:
+            self.camera = camera
+        elif self.camera is None:
+            import math
+
+            self.camera = Camera()
+            center = (scene.bbox_min + scene.bbox_max) / 2
+            extent = np.linalg.norm(scene.bbox_max - scene.bbox_min)
+            self.camera.place(center, math.pi / 3, math.pi / 4, extent, extent / 10, extent * 10)
+            self.camera.screen_w, self.camera.screen_h = self.width, self.height
+        self.camera.lens_radius = self.lens_radius
+        self.camera.focal_distance = self.focal_distance
+        self._build()
+
     def set_frame_size(self, width: int, height: int) -> None:
         self.width, self.height = width, height
         if self.camera is not None:

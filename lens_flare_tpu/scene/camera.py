@@ -60,6 +60,9 @@ class Camera:
     max_r: float = math.inf
     lens_radius: float = 0.0
     focal_distance: float = 0.0
+    # auto-dump settings on every move (camera.cpp:175-180 frames/frame_N.txt)
+    frame_dump_dir: str | None = None
+    frame_num: int = 0
 
     # -- configuration (camera.cpp:69-88) -------------------------------
 
@@ -101,6 +104,16 @@ class Camera:
         self.compute_position()
 
     def compute_position(self) -> None:
+        # turntable scripting support: dump settings per placement change
+        # (camera.cpp:171-180)
+        self.frame_num += 1
+        if self.frame_dump_dir and self.frame_num > 1:
+            import os
+
+            os.makedirs(self.frame_dump_dir, exist_ok=True)
+            self.dump_settings(
+                os.path.join(self.frame_dump_dir, f"frame_{self.frame_num - 1}.txt")
+            )
         sin_phi = math.sin(self.phi)
         if sin_phi == 0:
             self.phi += EPS_F

@@ -107,3 +107,39 @@ def test_exr_roundtrip_uncompressed(tmp_path):
     exr.write(path, img, compression=exr.COMPRESSION_NONE)
     back = exr.read(path)
     np.testing.assert_allclose(back, img, rtol=1e-6)
+
+
+def test_camera_frame_dump(tmp_path):
+    """Auto-dump per placement change (camera.cpp:175-180)."""
+    cam = Camera(frame_dump_dir=str(tmp_path / "frames"))
+    cam.place(np.zeros(3), 1.0, 0.2, 5.0, 0.5, 50.0)  # frame_num -> 1, no dump
+    cam.rotate_by(0.1, 0.2)  # frame_num -> 2, dumps frame_1.txt
+    cam.rotate_by(0.1, 0.2)
+    files = sorted((tmp_path / "frames").glob("frame_*.txt"))
+    assert [f.name for f in files] == ["frame_1.txt", "frame_2.txt"]
+    # dumps happen at the top of compute_position (pre-update), like the
+    # reference; the file parses back cleanly
+    cam2 = Camera()
+    cam2.load_settings(files[-1])
+    assert np.isfinite(cam2.pos).all()
+
+
+def test_envmap_probability_debug(tmp_path):
+    from lens_flare_tpu.integrator import envlight
+
+    env = envlight.build_env(np.random.default_rng(0).uniform(0, 2, (8, 16, 3)).astype(np.float32))
+    out = tmp_path / "prob.png"
+    envlight.save_probability_debug(env, out)
+    assert out.exists()
+
+
+def test_procedural_terrain_scene():
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(16)
+    assert scene.num_triangles == 2 * 16 * 16
+    assert np.isfinite(scene.tri_p).all()
+    # normals unit length
+    lens = np.linalg.norm(scene.tri_n.reshape(-1, 3), axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-4)
+    assert scene.lights.light_type.tolist() == [1, 2]
