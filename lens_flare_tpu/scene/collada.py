@@ -176,7 +176,14 @@ class _Parser:
         for e in xml:
             name = _tag(e)
             if name == "matrix":
-                local = _floats(e.text).reshape(4, 4)
+                vals = _floats(e.text)
+                if len(vals) < 16:
+                    # CBgems.dae ships a malformed 15-value matrix; the
+                    # reference's stringstream silently leaves the tail
+                    # uninitialized — pad with identity entries instead
+                    pad = np.eye(4).ravel()[len(vals) :]
+                    vals = np.concatenate([vals, pad])
+                local = vals[:16].reshape(4, 4)
                 break  # matrix overrides the transform list (collada.cpp:255-269)
             elif name == "rotate":
                 vals = _floats(e.text)  # x y z angle_deg

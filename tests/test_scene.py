@@ -143,3 +143,16 @@ def test_procedural_terrain_scene():
     lens = np.linalg.norm(scene.tri_n.reshape(-1, 3), axis=1)
     np.testing.assert_allclose(lens, 1.0, atol=1e-4)
     assert scene.lights.light_type.tolist() == [1, 2]
+
+
+def test_all_corpus_scenes_parse(dae_dir):
+    """Every .dae in the reference corpus loads into a FlatScene."""
+    import pathlib
+
+    count = 0
+    for f in sorted(pathlib.Path(dae_dir).rglob("*.dae")):
+        scene, info = load_scene(f)
+        assert scene.num_triangles + scene.num_spheres > 0, f
+        assert info.camera is not None, f
+        count += 1
+    assert count >= 20
