@@ -175,10 +175,15 @@ class Renderer:
 
     # ------------------------------------------------------------------
 
-    def render(self, cell=None, progress: bool = True):
+    def render(self, cell=None, progress: bool = True, checkpoint_path=None):
         """Render the film (or a subwindow ``cell=(x, y, dx, dy)``).
 
         Returns (hdr (H, W, 3) float32, sample_counts (H, W) int32).
+
+        ``checkpoint_path``: if given, per-tile progress is persisted there
+        (film + counts + cursor) and an interrupted render resumes from the
+        last completed tile — the elastic-recovery subsystem the reference
+        lacks (SURVEY.md §5.3-5.4).
         """
         w, h = self.width, self.height
         if cell is None:
@@ -218,7 +223,18 @@ class Renderer:
         tile = self.tile_pixels
         t_start = time.perf_counter()
         n_tiles = -(-n_px // tile)
-        for ti in range(n_tiles):
+
+        start_tile = 0
+        if checkpoint_path is not None and Path(checkpoint_path).exists():
+            ck = np.load(checkpoint_path)
+            if int(ck["n_tiles"]) == n_tiles and ck["film"].shape == film.shape:
+                film = ck["film"]
+                counts = ck["counts"]
+                start_tile = int(ck["next_tile"])
+                if progress:
+                    print(f"[PathTracer] resuming at tile {start_tile}/{n_tiles}")
+
+        for ti in range(start_tile, n_tiles):
             sl = slice(ti * tile, min((ti + 1) * tile, n_px))
             px = xs[sl]
             py = ys[sl]
@@ -234,6 +250,8 @@ class Renderer:
                 rad, cnt = rad[: len(xs[sl])], cnt[: len(xs[sl])]
             film[ys[sl], xs[sl]] = rad
             counts[ys[sl], xs[sl]] = cnt
+            if checkpoint_path is not None:
+                np.savez(checkpoint_path, film=film, counts=counts, next_tile=ti + 1, n_tiles=n_tiles)
             if progress:
                 print(f"\r[PathTracer] Rendering... {100 * (ti + 1) // n_tiles}%", end="", flush=True)
 

@@ -83,3 +83,27 @@ def test_autofocus_sets_focal_distance(dae_dir):
     fd = r.autofocus(16, 16)
     assert np.isfinite(fd) and fd > 0
     assert r.camera.focal_distance == fd
+
+
+def test_render_checkpoint_resume(dae_dir, tmp_path):
+    """Interrupted renders resume from the last completed tile."""
+    ck = str(tmp_path / "render_ck.npz")
+    r = _small_renderer(dae_dir / "pyramid.dae", tile_pixels=256)  # 4 tiles at 32x32
+    full, full_counts = r.render(progress=False)
+
+    # simulate an interrupted render: run a partial checkpointed pass by
+    # pre-seeding a checkpoint cursor mid-way
+    import numpy as np
+
+    r2 = _small_renderer(dae_dir / "pyramid.dae", tile_pixels=256)
+    hdr1, _ = r2.render(progress=False, checkpoint_path=ck)
+    assert (hdr1 == full).all()
+
+    # corrupt the film, rewind the cursor to tile 2, resume: tiles 2,3 redo
+    data = dict(np.load(ck))
+    data["film"] = data["film"] * 0 + 7.0
+    data["next_tile"] = 2
+    np.savez(ck, **data)
+    hdr2, _ = r2.render(progress=False, checkpoint_path=ck)
+    # tiles 2..3 re-rendered correctly; tiles 0..1 keep the corrupted marker
+    assert (hdr2 == 7.0).any() and not (hdr2 == 7.0).all()
