@@ -12,7 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..scene.build import LT_AREA, LT_DIRECTIONAL, LT_HEMISPHERE, LT_POINT
+from ..scene.build import LT_AREA, LT_DIRECTIONAL, LT_HEMISPHERE, LT_POINT, LT_SPOT
 
 LT_ENV = 4
 INF = jnp.float32(1e30)
@@ -93,13 +93,25 @@ def sample_light(lights: LightArrays, li, p, u, env=None):
     )
     wi_hemi = local @ _HEMI_S2W.T
 
+    # spot (proper implementation of the reference stub, light.cpp:63-71):
+    # point-light geometry, radiance scaled by a smooth cone falloff
+    cos_cone = lights.dim_x[li][..., 0]
+    fall_exp = lights.dim_x[li][..., 1]
+    cos_dir = jnp.sum(-wi_point * lights.direction[li], axis=-1)
+    spot_scale = jnp.clip(
+        (cos_dir - cos_cone) / jnp.maximum(1.0 - cos_cone, 1e-6), 0.0, 1.0
+    ) ** jnp.maximum(fall_exp, 1e-6)
+    rad_spot = rad * spot_scale[..., None]
+
     wi = wi_dir
     wi = jnp.where((lt == LT_POINT)[..., None], wi_point, wi)
+    wi = jnp.where((lt == LT_SPOT)[..., None], wi_point, wi)
     wi = jnp.where((lt == LT_AREA)[..., None], wi_area, wi)
     wi = jnp.where((lt == LT_HEMISPHERE)[..., None], wi_hemi, wi)
 
     dist = jnp.full(p.shape[:-1], INF)
     dist = jnp.where(lt == LT_POINT, dist_point, dist)
+    dist = jnp.where(lt == LT_SPOT, dist_point, dist)
     dist = jnp.where(lt == LT_AREA, dist_area, dist)
 
     pdf = jnp.ones(p.shape[:-1])
@@ -108,6 +120,7 @@ def sample_light(lights: LightArrays, li, p, u, env=None):
 
     out_rad = rad
     out_rad = jnp.where((lt == LT_AREA)[..., None], rad_area, out_rad)
+    out_rad = jnp.where((lt == LT_SPOT)[..., None], rad_spot, out_rad)
 
     if env is not None:
         from . import envlight

@@ -40,6 +40,7 @@ LT_HEMISPHERE = 0
 LT_DIRECTIONAL = 1
 LT_POINT = 2
 LT_AREA = 3
+LT_SPOT = 5  # (4 = LT_ENV, defined in integrator.lights)
 
 
 @dataclass
@@ -266,9 +267,29 @@ def _build_lights(info: SceneInfo) -> LightTable:
                 )
             )
         elif li.light_type == LIGHT_SPOT:
-            # SpotLight::sample_L is an empty stub in the reference
-            # (light.cpp:63-71); contributes nothing.
-            continue
+            # The reference declares SpotLight but its sample_L is an empty
+            # stub (light.cpp:63-71).  Implemented properly here: point light
+            # with a smooth cone falloff (falloff_angle, falloff_exponent).
+            pos = transform_points(t, li.position[None])[0]
+            direction = transform_points(t, (li.position + li.direction)[None])[0] - pos
+            direction /= np.linalg.norm(direction)
+            rows.append(
+                dict(
+                    light_type=LT_SPOT,
+                    radiance=li.spectrum,
+                    position=pos,
+                    direction=direction,
+                    # stash cone params in dim_x: (cos(falloff), exponent, 0)
+                    dim_x=np.array(
+                        [
+                            np.cos(np.radians(getattr(li, "falloff_deg", 45.0) or 45.0)),
+                            getattr(li, "falloff_exp", 1.0) or 1.0,
+                            0.0,
+                        ]
+                    ),
+                    is_delta=True,
+                )
+            )
 
     n = len(rows)
     table = LightTable(

@@ -66,6 +66,8 @@ class LightInfo:
     constant_att: float = 1.0
     linear_att: float = 0.0
     quadratic_att: float = 0.0
+    falloff_deg: float = 45.0
+    falloff_exp: float = 1.0
     transform: np.ndarray = field(default_factory=lambda: np.eye(4))
 
 
@@ -285,6 +287,8 @@ class _Parser:
             ("constant_att", "constant_attenuation"),
             ("linear_att", "linear_attenuation"),
             ("quadratic_att", "quadratic_attenuation"),
+            ("falloff_deg", "falloff_angle"),
+            ("falloff_exp", "falloff_exponent"),
         ):
             sub = e.find(NS + tag)
             if sub is not None:

@@ -166,3 +166,30 @@ def test_make_coord_space_orthonormal():
         np.testing.assert_allclose(o2w[i][:, 2], n[i], atol=1e-6)
         # matches the oracle frame exactly
         np.testing.assert_allclose(o2w[i], oracle.make_coord_space(n[i]), atol=1e-5)
+
+
+def test_spot_light_cone_falloff():
+    """Spot lights (stub in the reference) have smooth cone falloff."""
+    import jax.numpy as jnp
+
+    from lens_flare_tpu.integrator.lights import LightArrays, sample_light
+    from lens_flare_tpu.scene.build import LT_SPOT
+
+    lights = LightArrays(
+        light_type=jnp.asarray([LT_SPOT]),
+        radiance=jnp.asarray([[10.0, 10.0, 10.0]]),
+        position=jnp.asarray([[0.0, 0.0, 5.0]]),
+        direction=jnp.asarray([[0.0, 0.0, -1.0]]),  # pointing down
+        dim_x=jnp.asarray([[np.cos(np.radians(30.0)), 1.0, 0.0]]),
+        dim_y=jnp.zeros((1, 3)),
+        area=jnp.zeros(1),
+        is_delta=jnp.asarray([True]),
+    )
+    li = jnp.zeros(3, jnp.int32)
+    # directly below -> full radiance; ~17 deg off-axis -> attenuated; far out -> 0
+    p = jnp.asarray([[0.0, 0.0, 0.0], [1.5, 0.0, 0.0], [50.0, 0.0, 0.0]])
+    s = sample_light(lights, li, p, jnp.zeros((3, 2)))
+    rad = np.asarray(s.radiance)
+    assert np.allclose(rad[0], 10.0, rtol=1e-5)  # on-axis
+    assert 0 < rad[1][0] < 10.0  # inside cone edge region or partly off
+    assert np.allclose(rad[2], 0.0, atol=1e-5)  # far outside the cone
