@@ -30,3 +30,15 @@ import os as _os
 
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lens_flare_tpu_jax_cache")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# The axon TPU plugin presets jax_platforms="axon,cpu", silently overriding
+# the JAX_PLATFORMS env var; re-apply it through the config API so
+# JAX_PLATFORMS=cpu runs (tests, CI, subprocesses) actually stay on CPU.
+_want_platforms = _os.environ.get("JAX_PLATFORMS")
+if _want_platforms:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _want_platforms)
+    except Exception:
+        pass

@@ -320,7 +320,7 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     else:
         L_miss = jnp.zeros((n_lanes, 3))
 
-    hit_p = o + d * hit.t[:, None]
+    hit_p = o + d * jnp.where(hit.hit, hit.t, 0.0)[:, None]
     # zero bounce
     L = get_emission(bundle.bsdfs, hit.bsdf)
     # camera-vertex direct
@@ -358,7 +358,10 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
         cont = cont & bs.valid & (bs.pdf > 0)
 
         wi_world = local_to_world(o2w, bs.wi)
-        hit_p = cur_o + cur_d * cur_hit.t[:, None]
+        # clamp t for missed lanes: o + d*1e30 overflows f32 and feeds
+        # inf/nan coordinates into the traversal kernels
+        safe_t = jnp.where(cur_hit.hit, cur_hit.t, 0.0)
+        hit_p = cur_o + cur_d * safe_t[:, None]
         nxt = trace_closest(
             bundle,
             _offset_origin(hit_p, cur_hit.n, wi_world),

@@ -7,7 +7,10 @@ section 4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# MUST overwrite: the machine environment pins JAX_PLATFORMS=axon (TPU
+# tunnel); setdefault would keep it and the axon backend would still
+# initialize (and hang the suite whenever the tunnel is down).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -107,3 +107,23 @@ def test_render_checkpoint_resume(dae_dir, tmp_path):
     hdr2, _ = r2.render(progress=False, checkpoint_path=ck)
     # tiles 2..3 re-rendered correctly; tiles 0..1 keep the corrupted marker
     assert (hdr2 == 7.0).any() and not (hdr2 == 7.0).all()
+
+
+def test_cli_end_to_end(dae_dir, tmp_path):
+    """The CLI renders a PNG + rate heatmap with reference-style flags."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "out.png"
+    cmd = [
+        sys.executable, "-m", "lens_flare_tpu.cli",
+        "-s", "2", "-l", "1", "-m", "1", "-r", "24", "24",
+        "-f", str(out), str(dae_dir / "pyramid.dae"),
+    ]
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin:/opt/venv/bin")
+    import os
+    env.update({k: v for k, v in os.environ.items() if k not in env})
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert out.exists()
+    assert (tmp_path / "out_rate.png").exists()
