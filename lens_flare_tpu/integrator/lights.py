@@ -12,7 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..scene.build import LT_AREA, LT_DIRECTIONAL, LT_HEMISPHERE, LT_POINT, LT_SPOT
+from ..scene.build import LT_AREA, LT_HEMISPHERE, LT_POINT, LT_SPOT
 
 LT_ENV = 4
 INF = jnp.float32(1e30)

@@ -25,7 +25,6 @@ to implement) so mirror/glass/microfacet indirect transport actually works.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -34,7 +33,7 @@ import jax.numpy as jnp
 from ..ops.intersect import SceneArrays, finalize_hit, intersect_rays, occluded_rays
 from ..scene.camera import CameraParams, generate_rays, generate_rays_thin_lens
 from . import envlight as envmod
-from .lights import LT_ENV, LightArrays, sample_light
+from .lights import LightArrays, sample_light
 from .shading import (
     BSDFArrays,
     eval_f,

@@ -76,18 +76,4 @@ class ApertureTexture:
         value = self.values[vp, up]
         return value, up / self.width - 0.5, vp / self.height - 0.5
 
-    # -- importance sampling (for bokeh DoF) ----------------------------
-
-    def build_cdf(self):
-        """Flat CDF over texel values -> (cdf (H*W,), coords (H*W, 2))."""
-        flat = self.values.ravel().astype(np.float64)
-        cdf = np.cumsum(flat)
-        cdf /= cdf[-1]
-        return cdf
-
-    def sample_importance(self, cdf: np.ndarray, u: np.ndarray):
-        """Draw texels proportional to mask value. Returns (u, v) in [-0.5, 0.5]^2."""
-        idx = np.searchsorted(cdf, u, side="right")
-        idx = np.clip(idx, 0, len(cdf) - 1)
-        ys, xs = np.divmod(idx, self.width)
-        return xs / self.width - 0.5, ys / self.height - 0.5
+    # value-proportional sampling lives in integrator.path.BokehMask

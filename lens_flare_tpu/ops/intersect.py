@@ -147,7 +147,7 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
         sp = jnp.where(root_hit, 1, 0).astype(jnp.int32)
 
         def cond(state):
-            sp, _, _, _, _, found = state[1], state[2], state[3], state[4], state[5], state[6]
+            _stack, sp, _t, _prim, _b1, _b2, found = state
             alive = sp > 0
             if any_hit:
                 alive = alive & jnp.logical_not(found)
