@@ -216,3 +216,30 @@ def test_adaptive_sampling_stops_early(pyramid_scene):
     assert cnt.min() >= 8  # at least one batch everywhere
     assert (cnt < 64).any()  # some pixels stopped early
     assert cnt.max() <= 64
+
+
+def test_config3_realistic_ghosts_over_env_render(dae_dir):
+    """BASELINE config 3: HDR-sky env render + physically-based Fresnel ghosts."""
+    import numpy as np
+
+    from lens_flare_tpu.renderer import Renderer
+
+    env = np.full((8, 16, 3), 1.0, np.float32)
+    env[2, 5] = [200.0, 180.0, 150.0]  # sun texel
+    r = Renderer(width=48, height=48, ns_aa=2, max_ray_depth=1, indirect=False,
+                 envmap=env, tile_pixels=2304)
+    r.load(dae_dir / "sky" / "bunny_unlit.dae")
+    hdr, _ = r.render(progress=False)
+
+    ghosts = render_ghosts_stack(
+        reference_prescription(),
+        jnp.float32(0.25),
+        jnp.asarray([1.0, 0.9, 0.8]),
+        jnp.asarray([0.6, 0.55]),
+        48,
+        48,
+        pupil_samples=8,
+    )
+    out = hdr + np.asarray(ghosts)
+    assert np.isfinite(out).all()
+    assert out.sum() > hdr.sum()  # ghosts added energy
