@@ -20,14 +20,52 @@ import numpy as np
 BASELINE_CPU_MRAYS = 5.0
 
 
+def _probe_device(timeout_s: float = 240.0) -> str:
+    """Return the usable platform; fall back to CPU if the TPU tunnel hangs."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            x = jnp.ones((64, 64))
+            float((x @ x)[0, 0])
+            result["platform"] = jax.default_backend()
+        except Exception as e:  # pragma: no cover
+            result["error"] = str(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "platform" in result:
+        return result["platform"]
+    # tunnel wedged or init failed: restart on CPU so the bench still reports
+    import os
+    import sys
+
+    if os.environ.get("LF_BENCH_CPU") != "1":
+        os.environ["LF_BENCH_CPU"] = "1"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    return "cpu"
+
+
 def main():
+    platform = _probe_device()
+
     import jax
     import jax.numpy as jnp
 
     from lens_flare_tpu.integrator.path import render_wavefront
     from lens_flare_tpu.renderer import Renderer
 
-    width, height, spp, depth = 512, 512, 8, 4
+    if platform == "cpu":
+        width, height, spp, depth = 128, 128, 2, 2  # CPU fallback: keep it small
+    else:
+        width, height, spp, depth = 512, 512, 8, 4
     r = Renderer(
         width=width,
         height=height,
@@ -67,10 +105,15 @@ def main():
     total_rays = total_samples * rays_per_sample
     mrays = total_rays / dt / 1e6
 
+    metric = (
+        "pyramid_512_pathtrace_depth4_mrays_per_s_per_chip"
+        if platform != "cpu"
+        else "pyramid_128_pathtrace_mrays_per_s_CPU_FALLBACK_tpu_unreachable"
+    )
     print(
         json.dumps(
             {
-                "metric": "pyramid_512_pathtrace_depth4_mrays_per_s_per_chip",
+                "metric": metric,
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 2),
