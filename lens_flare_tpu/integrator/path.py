@@ -190,10 +190,24 @@ def _fold(keys, tag):
     return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, tag)
 
 
-def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, n, w_out_w, bsdf_id):
+def tape_size(settings: RenderSettings) -> int:
+    """Uniform floats per (pixel, sample) lane, laid out statically.
+
+    [ jitter 2 | lens 2 | camera-NEE 2S | per bounce: rr 1, bsdf 3, NEE 2S ]
+
+    One threefry call fills the whole tape; the per-site ``fold_in`` chains
+    this replaces were ~40 separate hashes per sample and dominated the
+    sample time on small scenes (profiled on v5e).
+    """
+    s = max(settings.total_light_samples, 1)
+    return 4 + 2 * s + max(settings.max_ray_depth - 1, 0) * (4 + 2 * s)
+
+
+def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p, n, w_out_w, bsdf_id):
     """NEE estimate at a batch of shading points (pathtracer.cpp:142-213).
 
-    hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,). Returns (N, 3).
+    hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,); u_tape: (N, 2S)
+    uniforms. Returns (N, 3).
 
     All NEE slots (one per delta light + ns_area_light per area light) are
     traced as ONE widened shadow-ray wavefront of S*N rays so the BVH
@@ -203,7 +217,7 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, 
     w_out = world_to_local(o2w, w_out_w)
 
     if settings.direct_hemisphere_sample:
-        return _direct_hemisphere(bundle, settings, keys, hit_p, o2w, w_out, bsdf_id)
+        return _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id)
 
     if len(settings.light_slots) == 0:
         return jnp.zeros_like(hit_p)
@@ -212,12 +226,7 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, 
     n_slots = len(settings.light_slots)
     slot_ids = jnp.asarray(settings.light_slots, jnp.int32)  # (S,)
 
-    # per-slot uniforms: (S, N, 2)
-    def slot_uniforms(s_idx):
-        k = _fold(keys, 1000 + s_idx)
-        return _uniforms(k, n_pts, (2,))
-
-    u = jnp.stack([slot_uniforms(s) for s in range(n_slots)])  # (S, N, 2)
+    u = u_tape.reshape(n_pts, n_slots, 2).transpose(1, 0, 2)  # (S, N, 2)
     li = jnp.broadcast_to(slot_ids[:, None], (n_slots, n_pts))  # (S, N)
 
     pts = jnp.broadcast_to(hit_p, (n_slots, n_pts, 3)).reshape(-1, 3)
@@ -247,15 +256,13 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, keys, hit_p, 
     return contrib.reshape(n_slots, n_pts, 3).sum(axis=0) / settings.total_light_samples
 
 
-def _direct_hemisphere(bundle, settings, keys, hit_p, o2w, w_out, bsdf_id):
+def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id):
     """Uniform-hemisphere direct estimator (pathtracer.cpp:86-140)."""
     num_samples = settings.total_light_samples  # lights * ns_area_light analogue
     p_w = 1.0 / (2.0 * jnp.pi)
     n_pts = hit_p.shape[0]
 
-    u = jnp.stack(
-        [_uniforms(_fold(keys, 2000 + s), n_pts, (2,)) for s in range(num_samples)]
-    ).reshape(-1, 2)  # (S*N, 2)
+    u = u_tape.reshape(n_pts, num_samples, 2).transpose(1, 0, 2).reshape(-1, 2)  # (S*N, 2)
     theta = jnp.arccos(jnp.clip(u[:, 0], -1.0, 1.0))
     phi = 2.0 * jnp.pi * u[:, 1]
     wi = jnp.stack(
@@ -289,10 +296,13 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     Returns (N, 3) radiance.
     """
     n_lanes = px.shape[0]
+    s = max(settings.total_light_samples, 1)
+
+    # one threefry fill per (pixel, sample): the whole sample's randomness
+    tape = _uniforms(keys, n_lanes, (tape_size(settings),))  # (N, U)
 
     if settings.pixel_jitter:
-        jitter = _uniforms(_fold(keys, 0), n_lanes, (2,))
-        jx, jy = jitter[:, 0], jitter[:, 1]
+        jx, jy = tape[:, 0], tape[:, 1]
     else:
         jx = jy = 0.5
     x = (px.astype(jnp.float32) + jx) / width
@@ -301,11 +311,9 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     if settings.use_thin_lens and bundle.bokeh is not None:
         from ..scene.camera import generate_rays_bokeh
 
-        lens_u = _uniforms(_fold(keys, 1), n_lanes, ())
-        o, d = generate_rays_bokeh(cam, x, y, bundle.bokeh.sample(lens_u))
+        o, d = generate_rays_bokeh(cam, x, y, bundle.bokeh.sample(tape[:, 2]))
     elif settings.use_thin_lens:
-        lens_u = _uniforms(_fold(keys, 1), n_lanes, (2,))
-        o, d = generate_rays_thin_lens(cam, x, y, lens_u[:, 0], lens_u[:, 1])
+        o, d = generate_rays_thin_lens(cam, x, y, tape[:, 2], tape[:, 3])
     else:
         o, d = generate_rays(cam, x, y)
 
@@ -323,37 +331,42 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     # zero bounce
     L = get_emission(bundle.bsdfs, hit.bsdf)
     # camera-vertex direct
-    L = L + direct_lighting(bundle, settings, _fold(keys, 10), hit_p, hit.n, -d, hit.bsdf)
+    L = L + direct_lighting(
+        bundle, settings, tape[:, 4 : 4 + 2 * s], hit_p, hit.n, -d, hit.bsdf
+    )
 
     if settings.indirect and settings.max_ray_depth > 1:
-        L = L + _indirect(bundle, settings, keys, o, d, hit)
+        L = L + _indirect(bundle, settings, tape[:, 4 + 2 * s :], o, d, hit)
 
     L = jnp.where(hit.hit[:, None], L, L_miss)
     return L
 
 
-def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
+def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
     """Iterative form of at_least_one_bounce_radiance (pathtracer.cpp:234-280).
 
     Returns only the indirect part (bounces 2+); the caller already added the
-    camera-vertex direct lighting.
+    camera-vertex direct lighting.  tape: (N, (D-1)*(4+2S)) uniforms, one
+    [rr 1 | bsdf 3 | NEE 2S] block per bounce, scanned as xs.
     """
     n_lanes = o.shape[0]
+    n_bounces = settings.max_ray_depth - 1
+    per_bounce = tape.shape[1] // n_bounces
+    tape_b = tape.reshape(n_lanes, n_bounces, per_bounce).transpose(1, 0, 2)
 
-    def bounce_body(carry, bounce):
+    def bounce_body(carry, xs):
+        bounce, u_b = xs  # u_b: (N, 4+2S)
         cur_o, cur_d, cur_hit, throughput, active, L = carry
-        bkeys = _fold(keys, 50 + bounce)
         depth_remaining = settings.max_ray_depth - (bounce - 1)
 
         # RR continuation at the current vertex (pathtracer.cpp:254)
-        rr = _uniforms(_fold(bkeys, 0), n_lanes, ())
+        rr = u_b[:, 0]
         cont = active & (depth_remaining > 1) & (rr >= (1.0 - CPDF))
 
         # sample the BSDF at the current vertex
         o2w = make_coord_space(cur_hit.n)
         w_out = world_to_local(o2w, -cur_d)
-        u = _uniforms(_fold(bkeys, 1), n_lanes, (3,))
-        bs = sample_f(bundle.bsdfs, cur_hit.bsdf, w_out, u)
+        bs = sample_f(bundle.bsdfs, cur_hit.bsdf, w_out, u_b[:, 1:4])
         cont = cont & bs.valid & (bs.pdf > 0)
 
         wi_world = local_to_world(o2w, bs.wi)
@@ -377,7 +390,7 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
         # direct lighting at the new vertex
         nxt_p = hit_p + wi_world * nxt.t[:, None]
         Ld = direct_lighting(
-            bundle, settings, _fold(bkeys, 2), nxt_p, nxt.n, -wi_world, nxt.bsdf
+            bundle, settings, u_b[:, 4:], nxt_p, nxt.n, -wi_world, nxt.bsdf
         )
         L = L + jnp.where(cont[:, None], throughput * Ld, 0.0)
 
@@ -385,7 +398,7 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, keys, o, d, hit):
 
     init = (o, d, hit, jnp.ones((n_lanes, 3)), hit.hit, jnp.zeros((n_lanes, 3)))
     (_, _, _, _, _, L), _ = jax.lax.scan(
-        bounce_body, init, jnp.arange(1, settings.max_ray_depth)
+        bounce_body, init, (jnp.arange(1, settings.max_ray_depth), tape_b)
     )
     return L
 

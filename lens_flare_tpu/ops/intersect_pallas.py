@@ -52,6 +52,35 @@ def _box_hits(boxes, o, inv_d, t_lo, t_hi):
     return (t_min <= t_max) & (t_max >= t_lo) & (t_min <= t_hi)
 
 
+def _compact_flags(flags):
+    """(B, 1) 0/1 f32 -> (compacted ids (B, 1) f32, count (1, 1) f32).
+
+    Scalar-free stream compaction: inclusive cumsum and the one-hot
+    scatter are both small matmuls, so the only scalar work left in the
+    traversal is one loop iteration per *active* cluster (the fori over
+    all B clusters with @pl.when bodies was the kernel's bottleneck —
+    ~200ns of scalar overhead per cluster per tile, active or not).
+    """
+    b = flags.shape[0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    lower = (col_j <= row_i).astype(jnp.float32)  # (b, b) lower-triangular ones
+    pos = jnp.dot(lower, flags, preferred_element_type=jnp.float32)  # (b,1) cumsum
+    # transpose pos/flags to row vectors via eye-mult matmul (no vector
+    # transpose op needed): row[j] = sum_i ones[0,i] * (c * I)[i,j] = c[j]
+    eye = (row_i == col_j).astype(jnp.float32)
+    ones_row = jnp.full((1, b), 1.0, jnp.float32)
+    pos_row = jnp.dot(ones_row, pos * eye, preferred_element_type=jnp.float32)
+    flag_row = jnp.dot(ones_row, flags * eye, preferred_element_type=jnp.float32)
+    # onehot[p, i] = 1 iff node i is the p-th active node
+    target = row_i.astype(jnp.float32)
+    onehot = ((pos_row - 1.0 == target) & (flag_row > 0)).astype(jnp.float32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).astype(jnp.float32)
+    compact = jnp.dot(onehot, ids, preferred_element_type=jnp.float32)  # (b, 1)
+    count = jnp.sum(flags).reshape(1, 1)
+    return compact, count
+
+
 def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hit: bool = False):
     def kernel(
         rays_ref,  # (8, TILE) [ox oy oz dx dy dz tlo thi]
@@ -62,9 +91,11 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
         out_t_ref,  # (1, TILE)
         out_prim_ref,  # (1, TILE) int32
         out_bary_ref,  # (2, TILE)
-        top_any_ref,  # scratch VMEM (B1, 1) f32: per-top-cluster any-lane flags
+        top_ids_ref,  # scratch VMEM (B1, 1) f32: compacted active top ids
+        top_n_ref,  # scratch VMEM (1, 1) f32: active top count
         ch_ref,  # scratch VMEM (B2, TILE) f32: child lane masks for the active top
-        ca_ref,  # scratch VMEM (B2, 1) f32: child any-lane flags
+        ch_ids_ref,  # scratch VMEM (B2, 1) f32: compacted active child ids
+        ch_n_ref,  # scratch VMEM (1, 1) f32: active child count
     ):
         rays = rays_ref[:]  # (8, TILE)
         o = [rays[i : i + 1, :] for i in range(3)]  # (1, TILE) each
@@ -78,106 +109,111 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
         out_bary_ref[:] = jnp.zeros((2, TILE), jnp.float32)
 
         top_hits = _box_hits(top_ref[:], o, inv_d, t_lo, t_hi)  # (B1, TILE)
-        top_any_ref[:] = jnp.any(top_hits, axis=1, keepdims=True).astype(jnp.float32)
+        top_flags = jnp.any(top_hits, axis=1, keepdims=True).astype(jnp.float32)
+        top_ids, top_n = _compact_flags(top_flags)
+        top_ids_ref[:] = top_ids
+        top_n_ref[:] = top_n
 
-        def top_body(t_idx, _):
-            @pl.when(top_any_ref[t_idx, 0] != 0)
-            def _():
-                child_block = child_ref[pl.ds(t_idx * b2, b2), :]  # (B2, 8)
-                child_hits = _box_hits(child_block, o, inv_d, t_lo, t_hi)  # (B2, TILE)
-                ch_ref[:] = child_hits.astype(jnp.float32)
-                ca_ref[:] = jnp.any(child_hits, axis=1, keepdims=True).astype(jnp.float32)
+        def top_body(s_idx, _):
+            t_idx = top_ids_ref[s_idx, 0].astype(jnp.int32)
+            child_block = child_ref[pl.ds(t_idx * b2, b2), :]  # (B2, 8)
+            child_hits = _box_hits(child_block, o, inv_d, t_lo, t_hi)  # (B2, TILE)
+            ch_ref[:] = child_hits.astype(jnp.float32)
+            ch_ids, ch_n = _compact_flags(
+                jnp.any(child_hits, axis=1, keepdims=True).astype(jnp.float32)
+            )
+            ch_ids_ref[:] = ch_ids
+            ch_n_ref[:] = ch_n
 
-                def child_body(c_idx, _):
-                    @pl.when(ca_ref[c_idx, 0] != 0)
-                    def _():
-                        node = t_idx * b2 + c_idx
-                        # lane slices must be 128-aligned: load the aligned
-                        # 128-node block and one-hot-select our column
-                        base = pl.multiple_of((node // 128) * 128, 128)
-                        lane = node - base
-                        onehot = (
-                            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == lane
-                        )
-                        tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
-                        col = jnp.sum(
-                            tri_block * onehot.astype(jnp.float32), axis=1, keepdims=True
-                        )  # (9K, 1)
-                        # slot ids node*K + k; mapped to primitive ids by a
-                        # small gather OUTSIDE the kernel (keeps the id table
-                        # out of VMEM — it was the budget breaker at 256k tris)
-                        ids = node * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-                        lane_mask = ch_ref[pl.ds(c_idx, 1), :] != 0  # (1, TILE)
+            def child_body(cs_idx, _):
+                c_idx = ch_ids_ref[cs_idx, 0].astype(jnp.int32)
+                node = t_idx * b2 + c_idx
+                # lane slices must be 128-aligned: load the aligned
+                # 128-node block and one-hot-select our column
+                base = pl.multiple_of((node // 128) * 128, 128)
+                lane = node - base
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == lane
+                )
+                tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
+                col = jnp.sum(
+                    tri_block * onehot.astype(jnp.float32), axis=1, keepdims=True
+                )  # (9K, 1)
+                # slot ids node*K + k; mapped to primitive ids by a
+                # small gather OUTSIDE the kernel (keeps the id table
+                # out of VMEM — it was the budget breaker at 256k tris)
+                ids = node * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                lane_mask = ch_ref[pl.ds(c_idx, 1), :] != 0  # (1, TILE)
 
-                        comp = [col[pl_j * k : (pl_j + 1) * k] for pl_j in range(9)]
-                        p0 = comp[0:3]  # (K, 1) each
-                        e1 = comp[3:6]
-                        e2 = comp[6:9]
+                comp = [col[pl_j * k : (pl_j + 1) * k] for pl_j in range(9)]
+                p0 = comp[0:3]  # (K, 1) each
+                e1 = comp[3:6]
+                e2 = comp[6:9]
 
-                        # s = o - p0   (K, TILE)
-                        s = [o[i] - p0[i] for i in range(3)]
-                        # s1 = d x e2  (K, TILE)
-                        s1 = [
-                            d[1] * e2[2] - d[2] * e2[1],
-                            d[2] * e2[0] - d[0] * e2[2],
-                            d[0] * e2[1] - d[1] * e2[0],
-                        ]
-                        # s2 = s x e1
-                        s2 = [
-                            s[1] * e1[2] - s[2] * e1[1],
-                            s[2] * e1[0] - s[0] * e1[2],
-                            s[0] * e1[1] - s[1] * e1[0],
-                        ]
-                        det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
-                        inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
-                        tt = (s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]) * inv_det
-                        bb1 = (s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]) * inv_det
-                        bb2 = (s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]) * inv_det
+                # s = o - p0   (K, TILE)
+                s = [o[i] - p0[i] for i in range(3)]
+                # s1 = d x e2  (K, TILE)
+                s1 = [
+                    d[1] * e2[2] - d[2] * e2[1],
+                    d[2] * e2[0] - d[0] * e2[2],
+                    d[0] * e2[1] - d[1] * e2[0],
+                ]
+                # s2 = s x e1
+                s2 = [
+                    s[1] * e1[2] - s[2] * e1[1],
+                    s[2] * e1[0] - s[0] * e1[2],
+                    s[0] * e1[1] - s[1] * e1[0],
+                ]
+                det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
+                inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
+                tt = (s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]) * inv_det
+                bb1 = (s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]) * inv_det
+                bb2 = (s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]) * inv_det
 
-                        best_t = out_t_ref[:]  # (1, TILE)
-                        limit = jnp.minimum(t_hi, best_t)
-                        valid = (
-                            (det != 0)
-                            & (tt >= t_lo)
-                            & (tt <= limit)
-                            & (bb1 >= 0)
-                            & (bb1 <= 1)
-                            & (bb2 >= 0)
-                            & (bb2 <= 1)
-                            & (bb1 + bb2 <= 1)
-                            & lane_mask
-                        )  # (K, TILE)
+                best_t = out_t_ref[:]  # (1, TILE)
+                limit = jnp.minimum(t_hi, best_t)
+                valid = (
+                    (det != 0)
+                    & (tt >= t_lo)
+                    & (tt <= limit)
+                    & (bb1 >= 0)
+                    & (bb1 <= 1)
+                    & (bb2 >= 0)
+                    & (bb2 <= 1)
+                    & (bb1 + bb2 <= 1)
+                    & lane_mask
+                )  # (K, TILE)
 
-                        t_masked = jnp.where(valid, tt, INF)
-                        t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
-                        improved = t_best_k < best_t
+                t_masked = jnp.where(valid, tt, INF)
+                t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
+                improved = t_best_k < best_t
 
-                        is_best = valid & (t_masked == t_best_k)
-                        prim_k = jnp.where(is_best, ids, jnp.int32(-1))
-                        prim_best = jnp.max(prim_k, axis=0, keepdims=True)
-                        b1_best = jnp.max(jnp.where(is_best, bb1, -INF), axis=0, keepdims=True)
-                        b2_best = jnp.max(jnp.where(is_best, bb2, -INF), axis=0, keepdims=True)
+                is_best = valid & (t_masked == t_best_k)
+                prim_k = jnp.where(is_best, ids, jnp.int32(-1))
+                prim_best = jnp.max(prim_k, axis=0, keepdims=True)
+                b1_best = jnp.max(jnp.where(is_best, bb1, -INF), axis=0, keepdims=True)
+                b2_best = jnp.max(jnp.where(is_best, bb2, -INF), axis=0, keepdims=True)
 
-                        out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
-                        out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
-                        cur_bary = out_bary_ref[:]
-                        new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
-                        out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
+                out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
+                out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
+                cur_bary = out_bary_ref[:]
+                new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
+                out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
+                return 0
 
-                    return 0
+            n_child = ch_n_ref[0, 0].astype(jnp.int32)
+            jax.lax.fori_loop(0, n_child, child_body, 0)
+            return s_idx + 1
 
-                jax.lax.fori_loop(0, b2, child_body, 0)
-
-            return t_idx + 1
-
+        n_top = top_n_ref[0, 0].astype(jnp.int32)
         if any_hit:
             # shadow rays: stop as soon as every lane found an occluder
-            def top_cond(t_idx):
-                return (t_idx < b1) & jnp.logical_not(jnp.all(out_prim_ref[:] >= 0))
+            def top_cond(s_idx):
+                return (s_idx < n_top) & jnp.logical_not(jnp.all(out_prim_ref[:] >= 0))
 
-            jax.lax.while_loop(top_cond, lambda t: top_body(t, None), 0)
+            jax.lax.while_loop(top_cond, lambda s: top_body(s, None), 0)
         else:
-            jax.lax.fori_loop(0, b1, top_body, 0)
+            jax.lax.fori_loop(0, n_top, top_body, 0)
 
         # --- spheres, brute force (sphere.cpp:11-111) ---
         sph = sph_ref[:]
@@ -268,9 +304,11 @@ def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpre
             pl.BlockSpec((2, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b1, 1), jnp.float32),
-            pltpu.VMEM((b2, TILE), jnp.float32),
-            pltpu.VMEM((b2, 1), jnp.float32),
+            pltpu.VMEM((b1, 1), jnp.float32),  # top_ids
+            pltpu.VMEM((1, 1), jnp.float32),  # top_n
+            pltpu.VMEM((b2, TILE), jnp.float32),  # ch lane masks
+            pltpu.VMEM((b2, 1), jnp.float32),  # ch_ids
+            pltpu.VMEM((1, 1), jnp.float32),  # ch_n
         ],
     )
     n = rays.shape[1]

@@ -55,8 +55,10 @@ def test_direct_lighting_matches_oracle(pyramid_scene):
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         jax.random.PRNGKey(0), jnp.arange(n, dtype=jnp.uint32)
     )
+    s = settings.total_light_samples
+    u_tape = jax.vmap(lambda k: jax.random.uniform(k, (2 * s,)))(keys)
     L = jax.jit(
-        lambda hp, n, wo, b: direct_lighting(bundle, settings, keys, hp, n, wo, b)
+        lambda hp, n, wo, b: direct_lighting(bundle, settings, u_tape, hp, n, wo, b)
     )(jnp.asarray(hit_p), hit.n, -jnp.asarray(dirs), hit.bsdf)
     L = np.asarray(L)
 
