@@ -61,22 +61,25 @@ def _median_partition(order, centroids, n_parts):
 def choose_shape(n_tris: int) -> tuple[int, int, int]:
     """(B1, B2, K) sized to the scene: capacity B1*B2*K >= n_tris.
 
-    Large K with few clusters measures fastest on TPU: the per-cluster loop
-    overhead (scalar reads + branches) dominates over the extra vector
-    intersection math of coarse leaves, so prefer K=128-wide chunks.
+    Measured on v5e (tools/profile_breakdown.py --sweep-shapes): with
+    scalar-free compaction in the kernel, finer K=32 leaves beat the old
+    K=128 chunks on both coherent and incoherent wavefronts (less wasted
+    Moller-Trumbore math per active chunk), and small scenes are fastest
+    single-level (B1=1: one box matrix + one compaction per tile).
+    VMEM ceiling: tri planes are 9*K*(B1*B2)*4 bytes <= ~10 MB.
     """
     for b1, b2, k in [
-        (16, 16, 8),
-        (16, 16, 32),
-        (16, 16, 128),
-        (16, 32, 128),
-        (32, 32, 128),
-        (32, 64, 128),
-        (64, 64, 128),
+        (1, 16, 8),
+        (1, 32, 16),
+        (1, 64, 32),
+        (16, 32, 32),
+        (32, 64, 32),
+        (64, 64, 32),
+        (64, 128, 32),
     ]:
         if b1 * b2 * k >= max(n_tris, 1):
             return b1, b2, k
-    return 64, 64, 256  # ~1M triangles (VMEM permitting)
+    return 64, 128, 32  # 262,144-triangle ceiling; larger scenes use the XLA path
 
 
 def build_wide_bvh(tri_p: np.ndarray, b1: int | None = None, b2: int | None = None, k: int | None = None) -> WideBVH:

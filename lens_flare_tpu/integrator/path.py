@@ -150,6 +150,13 @@ def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
     return _orient_normals(bundle, d, hit)
 
 
+# NOTE on ray sorting (measured on v5e, tools/profile_breakdown.py): sorting
+# bounce wavefronts by quantized direction+origin was tried and LOSES with
+# the fine K=32 leaves — the raw wavefront keeps the blocked-pixel ORIGIN
+# coherence, which drives cluster activation more than direction coherence
+# does; the global sort scatters origins and slowed the kernel 10-50%.
+
+
 def _orient_normals(bundle: SceneBundle, d, hit):
     """Face-forward shading normals for reflective materials.
 
@@ -239,12 +246,15 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     facing = wi_obj[:, 2] >= 0  # dot(wi_obj, z) < 0 -> skip (pathtracer.cpp:186)
 
     n_b = jnp.broadcast_to(n, (n_slots, n_pts, 3)).reshape(-1, 3)
+    # lanes that can't contribute (backfacing / zero pdf) get t_hi = 0 so
+    # they never activate clusters in the packet kernel
+    live = facing & (ls.pdf > 0)
     occ = trace_occluded(
         bundle,
         _offset_origin(pts, n_b, ls.wi),
         ls.wi,
         jnp.full(n_slots * n_pts, EPS_F),
-        ls.dist - EPS_F,
+        jnp.where(live, ls.dist - EPS_F, 0.0),
     )
     cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
     w_out_b = jnp.broadcast_to(w_out, (n_slots, n_pts, 3)).reshape(-1, 3)
@@ -374,12 +384,14 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
         # inf/nan coordinates into the traversal kernels
         safe_t = jnp.where(cur_hit.hit, cur_hit.t, 0.0)
         hit_p = cur_o + cur_d * safe_t[:, None]
+        # dead lanes (RR-terminated / invalid sample) get t_hi = 0 so they
+        # never activate clusters in the packet kernel
         nxt = trace_closest(
             bundle,
             _offset_origin(hit_p, cur_hit.n, wi_world),
             wi_world,
             jnp.full(n_lanes, EPS_F),
-            jnp.full(n_lanes, 1e30),
+            jnp.where(cont, 1e30, 0.0),
         )
         cont = cont & nxt.hit
 

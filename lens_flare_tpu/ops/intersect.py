@@ -35,6 +35,9 @@ class SceneArrays(NamedTuple):
     tri_e2: jnp.ndarray  # (T, 3) p2 - p0
     tri_n: jnp.ndarray  # (T, 3, 3) corner normals
     tri_bsdf: jnp.ndarray  # (T,)
+    tri_shade: jnp.ndarray  # (T, 10) packed [corner normals (9), bsdf] — one
+    # row gather per hit in finalize_hit instead of two (gathers are the
+    # cost of finalize on TPU; measured ~2x)
     # spheres (S, ...)
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
@@ -60,13 +63,24 @@ class Hit(NamedTuple):
 
 def scene_to_device(flat_scene, bvh, dtype=jnp.float32) -> SceneArrays:
     """Upload a host FlatScene + FlatBVH to device arrays."""
+    import numpy as _np
+
     tp = jnp.asarray(flat_scene.tri_p, dtype)
+    n_t = len(flat_scene.tri_p)
+    shade = _np.concatenate(
+        [
+            _np.asarray(flat_scene.tri_n, _np.float32).reshape(n_t, 9),
+            _np.asarray(flat_scene.tri_bsdf, _np.float32).reshape(n_t, 1),
+        ],
+        axis=1,
+    ) if n_t else _np.zeros((0, 10), _np.float32)
     return SceneArrays(
         tri_p0=tp[:, 0],
         tri_e1=tp[:, 1] - tp[:, 0],
         tri_e2=tp[:, 2] - tp[:, 0],
         tri_n=jnp.asarray(flat_scene.tri_n, dtype),
         tri_bsdf=jnp.asarray(flat_scene.tri_bsdf),
+        tri_shade=jnp.asarray(shade),
         sph_center=jnp.asarray(flat_scene.sph_center, dtype),
         sph_radius=jnp.asarray(flat_scene.sph_radius, dtype),
         sph_bsdf=jnp.asarray(flat_scene.sph_bsdf),
@@ -256,7 +270,8 @@ def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
 
     # triangle: barycentric-interpolated unit normal (triangle.cpp:104-108)
     if num_tris > 0:
-        n_corners = scene.tri_n[tri_idx]  # (N, 3, 3)
+        rows = scene.tri_shade[tri_idx]  # (N, 10): one gather for normals+bsdf
+        n_corners = rows[:, :9].reshape(-1, 3, 3)
         b0 = 1.0 - b1 - b2
         n_tri = (
             b0[:, None] * n_corners[:, 0]
@@ -264,7 +279,7 @@ def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
             + b2[:, None] * n_corners[:, 2]
         )
         n_tri = n_tri / jnp.maximum(jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-30)
-        bsdf_tri = scene.tri_bsdf[tri_idx]
+        bsdf_tri = rows[:, 9].astype(jnp.int32)
     else:
         n_tri = jnp.zeros_like(o)
         bsdf_tri = jnp.zeros(o.shape[0], jnp.int32)

@@ -30,7 +30,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracers
-TILE = 1024
+# 256 lanes per tile measured fastest on v5e for coherent AND incoherent
+# wavefronts: the per-tile active-cluster union shrinks with tile size
+# (tools/profile_breakdown.py sweep), and per-tile fixed costs are small
+# since compaction
+TILE = 256
 
 
 def _safe_inv(d):
@@ -81,7 +85,7 @@ def _compact_flags(flags):
     return compact, count
 
 
-def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hit: bool = False):
+def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hit: bool = False, tile: int = TILE):
     def kernel(
         rays_ref,  # (8, TILE) [ox oy oz dx dy dz tlo thi]
         top_ref,  # (B1, 8)
@@ -104,18 +108,20 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
         t_hi = rays[7:8, :]
         inv_d = [_safe_inv(d[i]) for i in range(3)]
 
-        out_t_ref[:] = jnp.full((1, TILE), INF, jnp.float32)
-        out_prim_ref[:] = jnp.full((1, TILE), -1, jnp.int32)
-        out_bary_ref[:] = jnp.zeros((2, TILE), jnp.float32)
+        out_t_ref[:] = jnp.full((1, tile), INF, jnp.float32)
+        out_prim_ref[:] = jnp.full((1, tile), -1, jnp.int32)
+        out_bary_ref[:] = jnp.zeros((2, tile), jnp.float32)
 
-        top_hits = _box_hits(top_ref[:], o, inv_d, t_lo, t_hi)  # (B1, TILE)
-        top_flags = jnp.any(top_hits, axis=1, keepdims=True).astype(jnp.float32)
-        top_ids, top_n = _compact_flags(top_flags)
-        top_ids_ref[:] = top_ids
-        top_n_ref[:] = top_n
+        if b1 > 1:
+            top_hits = _box_hits(top_ref[:], o, inv_d, t_lo, t_hi)  # (B1, TILE)
+            top_flags = jnp.any(top_hits, axis=1, keepdims=True).astype(jnp.float32)
+            top_ids, top_n = _compact_flags(top_flags)
+            top_ids_ref[:] = top_ids
+            top_n_ref[:] = top_n
 
         def top_body(s_idx, _):
-            t_idx = top_ids_ref[s_idx, 0].astype(jnp.int32)
+            # single-level trees (B1 == 1) skip the top walk entirely
+            t_idx = top_ids_ref[s_idx, 0].astype(jnp.int32) if b1 > 1 else 0
             child_block = child_ref[pl.ds(t_idx * b2, b2), :]  # (B2, 8)
             child_hits = _box_hits(child_block, o, inv_d, t_lo, t_hi)  # (B2, TILE)
             ch_ref[:] = child_hits.astype(jnp.float32)
@@ -205,7 +211,7 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
             jax.lax.fori_loop(0, n_child, child_body, 0)
             return s_idx + 1
 
-        n_top = top_n_ref[0, 0].astype(jnp.int32)
+        n_top = top_n_ref[0, 0].astype(jnp.int32) if b1 > 1 else 1
         if any_hit:
             # shadow rays: stop as soon as every lane found an occluder
             def top_cond(s_idx):
@@ -263,7 +269,10 @@ class PallasScene:
         planes = np.ascontiguousarray(
             soa.transpose(2, 1, 0)[:9].reshape(9 * k, n_nodes)
         )
-        self.tri = jnp.asarray(planes)  # (9*K, B_nodes)
+        if n_nodes < 128:
+            # the kernel reads 128-column aligned blocks; pad node columns
+            planes = np.pad(planes, ((0, 0), (0, 128 - n_nodes)))
+        self.tri = jnp.asarray(planes)  # (9*K, max(B_nodes, 128))
         # slot -> primitive id map, applied outside the kernel; sphere slots
         # appended after the b1*b2*k triangle slots
         n_sph = len(sph_center)
@@ -285,28 +294,28 @@ class PallasScene:
         self.n_spheres = n_sph
 
 
-@partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit"))
-def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpret=False, any_hit=False):
-    n_tiles = rays.shape[1] // TILE
-    kernel = _make_kernel(b1, b2, k, n_spheres, num_tris, any_hit=any_hit)
+@partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile"))
+def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpret=False, any_hit=False, tile=TILE):
+    n_tiles = rays.shape[1] // tile
+    kernel = _make_kernel(b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((top.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((child.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((b1, 1), jnp.float32),  # top_ids
             pltpu.VMEM((1, 1), jnp.float32),  # top_n
-            pltpu.VMEM((b2, TILE), jnp.float32),  # ch lane masks
+            pltpu.VMEM((b2, tile), jnp.float32),  # ch lane masks
             pltpu.VMEM((b2, 1), jnp.float32),  # ch_ids
             pltpu.VMEM((1, 1), jnp.float32),  # ch_n
         ],
@@ -325,13 +334,13 @@ def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpre
     return out_t, out_prim, out_bary
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=TILE):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit) with N lanes.
 
     N is padded internally to a TILE multiple.
     """
     n = o.shape[0]
-    pad = (-n) % TILE
+    pad = (-n) % tile
     rays = jnp.concatenate(
         [o.T, d.T, t_lo[None, :], t_hi[None, :]], axis=0
     )  # (8, N)
@@ -350,6 +359,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         num_tris=pscene.num_tris,
         interpret=interpret,
         any_hit=any_hit,
+        tile=tile,
     )
     t = out_t[0, :n]
     slot = out_prim[0, :n]

@@ -134,7 +134,7 @@ class Renderer:
             # Pallas kernel: TPU only, scene must fit the VMEM cluster tree
             self.use_pallas = (
                 jax.default_backend() not in ("cpu",)
-                and self.scene.num_triangles <= 64 * 64 * 32
+                and self.scene.num_triangles <= 64 * 128 * 32  # VMEM tree ceiling
                 and self.scene.num_spheres <= 64
             )
         if self.use_pallas:
