@@ -80,8 +80,18 @@ def main():
     cam = r.camera.params()
     key = jax.random.PRNGKey(0)
     ys, xs = np.mgrid[0:height, 0:width]
-    px = jnp.asarray(xs.ravel())
-    py = jnp.asarray(ys.ravel())
+    xs, ys = xs.ravel(), ys.ravel()
+    # blocked 32x32 pixel order, exactly as Renderer.render() feeds the
+    # wavefront (coherent ray tiles for the packet kernel)
+    bs = 32
+    order = np.argsort(
+        ((ys // bs) * ((width + bs - 1) // bs) + (xs // bs)) * bs * bs
+        + (ys % bs) * bs
+        + (xs % bs),
+        kind="stable",
+    )
+    px = jnp.asarray(xs[order])
+    py = jnp.asarray(ys[order])
 
     fn = jax.jit(
         lambda px, py: render_wavefront(r.bundle, r.settings, cam, px, py, width, height, key)
