@@ -12,7 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..scene.build import LT_AREA, LT_HEMISPHERE, LT_POINT, LT_SPOT
+from ..scene.build import LT_AREA, LT_HEMISPHERE, LT_MESH, LT_POINT, LT_SPHERE, LT_SPOT
 
 LT_ENV = 4
 INF = jnp.float32(1e30)
@@ -30,6 +30,11 @@ class LightArrays(NamedTuple):
     dim_y: jnp.ndarray
     area: jnp.ndarray
     is_delta: jnp.ndarray
+    # mesh-light triangle pool (M >= 1, padded): [p0, e1, e2] rows, owning
+    # light id, in-light cumulative area fraction
+    mesh_tri: jnp.ndarray = jnp.zeros((1, 9), jnp.float32)
+    mesh_tri_light: jnp.ndarray = jnp.full(1, -1, jnp.int32)
+    mesh_tri_cdf: jnp.ndarray = jnp.ones(1, jnp.float32)
 
 
 class LightSample(NamedTuple):
@@ -40,6 +45,17 @@ class LightSample(NamedTuple):
 
 
 def lights_to_device(table, dtype=jnp.float32) -> LightArrays:
+    import numpy as np
+
+    m = len(getattr(table, "mesh_tri", ()))
+    if m:
+        mesh_tri = jnp.asarray(table.mesh_tri, dtype)
+        mesh_light = jnp.asarray(table.mesh_tri_light)
+        mesh_cdf = jnp.asarray(table.mesh_tri_cdf, dtype)
+    else:  # padded sentinel row so gathers stay in-bounds
+        mesh_tri = jnp.zeros((1, 9), dtype)
+        mesh_light = jnp.full(1, -1, jnp.int32)
+        mesh_cdf = jnp.ones(1, dtype)
     return LightArrays(
         light_type=jnp.asarray(table.light_type),
         radiance=jnp.asarray(table.radiance, dtype),
@@ -49,6 +65,9 @@ def lights_to_device(table, dtype=jnp.float32) -> LightArrays:
         dim_y=jnp.asarray(table.dim_y, dtype),
         area=jnp.asarray(table.area, dtype),
         is_delta=jnp.asarray(table.is_delta),
+        mesh_tri=mesh_tri,
+        mesh_tri_light=mesh_light,
+        mesh_tri_cdf=mesh_cdf,
     )
 
 
@@ -103,24 +122,89 @@ def sample_light(lights: LightArrays, li, p, u, env=None):
     ) ** jnp.maximum(fall_exp, 1e-6)
     rad_spot = rad * spot_scale[..., None]
 
+    # sphere (proper implementation of the reference stub, light.cpp:99-109):
+    # uniform sampling over the subtended solid-angle cone
+    sph_r = lights.dim_x[li][..., 0]
+    to_c = lights.position[li] - p
+    dc = jnp.linalg.norm(to_c, axis=-1)
+    axis = to_c / jnp.maximum(dc[..., None], 1e-30)
+    sin2_max = jnp.clip((sph_r / jnp.maximum(dc, 1e-30)) ** 2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    cos_t = 1.0 - xi1 * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # ONB around the cone axis
+    h = jnp.where(
+        (jnp.abs(axis[..., 0:1]) > 0.9), jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0])
+    )
+    tx = jnp.cross(axis, jnp.broadcast_to(h, axis.shape))
+    tx = tx / jnp.maximum(jnp.linalg.norm(tx, axis=-1, keepdims=True), 1e-30)
+    ty = jnp.cross(axis, tx)
+    wi_sph = (
+        axis * cos_t[..., None]
+        + (tx * jnp.cos(phi)[..., None] + ty * jnp.sin(phi)[..., None]) * sin_t[..., None]
+    )
+    pdf_sph = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-30)
+    # distance to the sphere surface along wi (near quadratic root)
+    disc = jnp.maximum(sph_r**2 - (dc * sin_t) ** 2, 0.0)
+    dist_sph = jnp.maximum(dc * cos_t - jnp.sqrt(disc), 0.0)
+
+    # mesh (proper implementation of the reference stub, light.cpp:111-118):
+    # area-uniform point via per-tri CDF + rescaled-uniform barycentrics
+    tri_owner = lights.mesh_tri_light  # (M,)
+    tri_cdf = lights.mesh_tri_cdf  # (M,)
+    mine = tri_owner[None, :] == li[..., None]  # (N, M)
+    sel = mine & (tri_cdf[None, :] >= u[..., 0:1])
+    tri_idx = jnp.argmax(sel, axis=-1)  # first matching tri (N,)
+    row = lights.mesh_tri[tri_idx]  # (N, 9)
+    cdf_hi = tri_cdf[tri_idx]
+    prev_mask = mine & (
+        jnp.arange(tri_cdf.shape[0])[None, :] < tri_idx[..., None]
+    )
+    cdf_lo = jnp.max(jnp.where(prev_mask, tri_cdf[None, :], 0.0), axis=-1)
+    u0r = jnp.clip((u[..., 0] - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-30), 0.0, 1.0)
+    su = jnp.sqrt(u0r)
+    b1c = 1.0 - su
+    b2c = u[..., 1] * su
+    mp0, me1, me2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    pt = mp0 + b1c[..., None] * me1 + b2c[..., None] * me2
+    mn = jnp.cross(me1, me2)
+    mn = mn / jnp.maximum(jnp.linalg.norm(mn, axis=-1, keepdims=True), 1e-30)
+    d_mesh = pt - p
+    sq_mesh = jnp.sum(d_mesh * d_mesh, axis=-1)
+    dist_mesh = jnp.sqrt(sq_mesh)
+    wi_mesh = d_mesh / jnp.maximum(dist_mesh[..., None], 1e-30)
+    cos_mesh = jnp.sum(d_mesh * mn, axis=-1)
+    pdf_mesh = sq_mesh / jnp.maximum(
+        lights.area[li] * jnp.abs(cos_mesh), 1e-30
+    )
+    # two-sided emitter (the mesh winding is arbitrary); radiance as-is
+    rad_mesh = rad
+
     wi = wi_dir
     wi = jnp.where((lt == LT_POINT)[..., None], wi_point, wi)
     wi = jnp.where((lt == LT_SPOT)[..., None], wi_point, wi)
     wi = jnp.where((lt == LT_AREA)[..., None], wi_area, wi)
     wi = jnp.where((lt == LT_HEMISPHERE)[..., None], wi_hemi, wi)
+    wi = jnp.where((lt == LT_SPHERE)[..., None], wi_sph, wi)
+    wi = jnp.where((lt == LT_MESH)[..., None], wi_mesh, wi)
 
     dist = jnp.full(p.shape[:-1], INF)
     dist = jnp.where(lt == LT_POINT, dist_point, dist)
     dist = jnp.where(lt == LT_SPOT, dist_point, dist)
     dist = jnp.where(lt == LT_AREA, dist_area, dist)
+    dist = jnp.where(lt == LT_SPHERE, dist_sph, dist)
+    dist = jnp.where(lt == LT_MESH, dist_mesh, dist)
 
     pdf = jnp.ones(p.shape[:-1])
     pdf = jnp.where(lt == LT_AREA, pdf_area, pdf)
     pdf = jnp.where(lt == LT_HEMISPHERE, 1.0 / (2.0 * jnp.pi), pdf)
+    pdf = jnp.where(lt == LT_SPHERE, pdf_sph, pdf)
+    pdf = jnp.where(lt == LT_MESH, pdf_mesh, pdf)
 
     out_rad = rad
     out_rad = jnp.where((lt == LT_AREA)[..., None], rad_area, out_rad)
     out_rad = jnp.where((lt == LT_SPOT)[..., None], rad_spot, out_rad)
+    out_rad = jnp.where((lt == LT_MESH)[..., None], rad_mesh, out_rad)
 
     if env is not None:
         from . import envlight

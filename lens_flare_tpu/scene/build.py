@@ -41,6 +41,8 @@ LT_DIRECTIONAL = 1
 LT_POINT = 2
 LT_AREA = 3
 LT_SPOT = 5  # (4 = LT_ENV, defined in integrator.lights)
+LT_SPHERE = 6  # SphereLight (light.h:101-112; sample_L stub light.cpp:99-109)
+LT_MESH = 7  # MeshLight (light.h:116-126; sample_L stub light.cpp:111-118)
 
 
 @dataclass
@@ -93,12 +95,18 @@ class LightTable:
 
     light_type: np.ndarray  # (L,) int32, LT_* codes
     radiance: np.ndarray  # (L,3)
-    position: np.ndarray  # (L,3)   point: position; area: center; directional: posLight
+    position: np.ndarray  # (L,3)   point: position; area: center; sphere: center
     direction: np.ndarray  # (L,3)  directional: dirToLight; area: facing direction
-    dim_x: np.ndarray  # (L,3)  area only
-    dim_y: np.ndarray  # (L,3)  area only
-    area: np.ndarray  # (L,)   area only
+    dim_x: np.ndarray  # (L,3)  area: x edge; spot: cone params; sphere: (radius,0,0)
+    dim_y: np.ndarray  # (L,3)  area: y edge; mesh: (tri offset, tri count, 0)
+    area: np.ndarray  # (L,)   area/mesh: total emitting area
     is_delta: np.ndarray  # (L,) bool
+    # mesh-light triangle pool shared by all LT_MESH rows: world-space
+    # [p0 (3), e1 (3), e2 (3)] with per-tri owning light and in-light
+    # cumulative area fraction
+    mesh_tri: np.ndarray = field(default_factory=lambda: np.zeros((0, 9), np.float32))
+    mesh_tri_light: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    mesh_tri_cdf: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
 
 
 @dataclass
@@ -312,6 +320,77 @@ def _build_lights(info: SceneInfo) -> LightTable:
         table.area[i] = row.get("area", 0.0)
         table.is_delta[i] = row["is_delta"]
     return table
+
+
+def _append_light_row(table: LightTable, **row) -> int:
+    """Append one light row (grows every column array); returns its index."""
+    i = len(table.light_type)
+    table.light_type = np.append(table.light_type, row["light_type"]).astype(np.int32)
+    table.radiance = np.vstack([table.radiance, np.asarray(row["radiance"], np.float32)])
+    table.position = np.vstack(
+        [table.position, np.asarray(row.get("position", np.zeros(3)), np.float32)]
+    )
+    table.direction = np.vstack(
+        [table.direction, np.asarray(row.get("direction", np.zeros(3)), np.float32)]
+    )
+    table.dim_x = np.vstack(
+        [table.dim_x, np.asarray(row.get("dim_x", np.zeros(3)), np.float32)]
+    )
+    table.dim_y = np.vstack(
+        [table.dim_y, np.asarray(row.get("dim_y", np.zeros(3)), np.float32)]
+    )
+    table.area = np.append(table.area, row.get("area", 0.0)).astype(np.float32)
+    table.is_delta = np.append(table.is_delta, row["is_delta"])
+    return i
+
+
+def add_sphere_light(table: LightTable, center, radius: float, radiance) -> int:
+    """Proper SphereLight (reference stub light.cpp:99-109): emitting sphere
+    sampled uniformly over its subtended solid-angle cone."""
+    return _append_light_row(
+        table,
+        light_type=LT_SPHERE,
+        radiance=radiance,
+        position=np.asarray(center, np.float32),
+        dim_x=np.array([radius, 0.0, 0.0], np.float32),
+        is_delta=False,
+    )
+
+
+def add_mesh_light(table: LightTable, tri_p, radiance) -> int:
+    """Proper MeshLight (reference stub light.cpp:111-118): emitting triangle
+    mesh, sampled uniformly by area (per-tri CDF + uniform barycentrics).
+
+    tri_p: (M, 3, 3) world-space triangle corners.
+    """
+    tri_p = np.asarray(tri_p, np.float32)
+    p0 = tri_p[:, 0]
+    e1 = tri_p[:, 1] - tri_p[:, 0]
+    e2 = tri_p[:, 2] - tri_p[:, 0]
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    total = float(areas.sum())
+    if total <= 0:
+        raise ValueError("mesh light has zero area")
+    offset = len(table.mesh_tri)
+    li = _append_light_row(
+        table,
+        light_type=LT_MESH,
+        radiance=radiance,
+        position=tri_p.reshape(-1, 3).mean(axis=0),
+        dim_y=np.array([offset, len(tri_p), 0.0], np.float32),
+        area=total,
+        is_delta=False,
+    )
+    table.mesh_tri = np.vstack(
+        [table.mesh_tri, np.concatenate([p0, e1, e2], axis=1).astype(np.float32)]
+    )
+    table.mesh_tri_light = np.append(
+        table.mesh_tri_light, np.full(len(tri_p), li, np.int32)
+    )
+    table.mesh_tri_cdf = np.append(
+        table.mesh_tri_cdf, (np.cumsum(areas) / total).astype(np.float32)
+    )
+    return li
 
 
 def load_scene(path) -> tuple[FlatScene, SceneInfo]:
