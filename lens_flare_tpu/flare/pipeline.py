@@ -26,12 +26,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from ..lens.aperture import ApertureTexture
 from ..lens.paraxial import trace_all_ghosts
-from ..lens.ghosts import splat_ghosts
+from ..lens.ghosts import splat_ghosts, splat_ghosts_fast
 from ..lens.prescription import LensPrescription, reference_prescription
 from ..scene.build import LT_DIRECTIONAL
 from .starburst import aperture_fft, irradiance_falloff, starburst_field
+
+
+@partial(jax.jit, static_argnames=("width", "height", "method", "scale"))
+def _ghost_buffer_impl(lens, angle, tex, axis_ray, width, height, method, scale):
+    """Jitted ghost stage: paraxial traces + splats in ONE device program.
+
+    Eager op-by-op dispatch of the splat loop costs seconds through the
+    remote-device tunnel; fused it runs in ~25 ms at 1080p.
+    """
+    r1, r2 = trace_all_ghosts(lens, angle)  # (P, 3)
+    n_pairs = r1.shape[0]
+    r1f = r1.reshape(-1)
+    r2f = r2.reshape(-1)
+    colors = jnp.tile(jnp.eye(3), (n_pairs, 1))
+    if method == "fast" and scale == 1:
+        return splat_ghosts_fast(tex, r1f, r2f, colors, axis_ray, width, height)
+    return splat_ghosts(tex, r1f, r2f, colors, axis_ray, width, height, scale=scale)
 
 
 def find_sun(light_table, camera):
@@ -75,6 +94,10 @@ class FlarePipeline:
     flare_radius: float = 0.0
     falloff_key: int = 0
     ghost_scale: int = 1  # >1: subsampled ghost buffer (speed knob)
+    # "exact": reference rasterizer (pixel-exact vs oracle, gather-bound);
+    # "fast": canonical-card scale_and_translate (bilinear, MXU matmuls);
+    # "auto": fast for large films, exact for small
+    ghost_method: str = "auto"
     _fft_cache: object = None
 
     @classmethod
@@ -118,21 +141,18 @@ class FlarePipeline:
             or (self.axis_ray == 0).all()
         ):
             return jnp.zeros((self.height, self.width, 3))
-        r1, r2 = trace_all_ghosts(self.lens, jnp.float32(self.angle_to_sun))  # (P, 3)
-        n_pairs = r1.shape[0]
-        # flatten (pair, color) -> ghosts with pure-channel colors
-        r1f = r1.reshape(-1)
-        r2f = r2.reshape(-1)
-        colors = jnp.tile(jnp.eye(3), (n_pairs, 1))
-        return splat_ghosts(
+        method = self.ghost_method
+        if method == "auto":
+            method = "fast" if self.width * self.height >= (1 << 18) else "exact"
+        return _ghost_buffer_impl(
+            self.lens,
+            jnp.float32(self.angle_to_sun),
             jnp.asarray(self.ghost_aperture.values),
-            r1f,
-            r2f,
-            colors,
             jnp.asarray(self.axis_ray, jnp.float32),
             self.width,
             self.height,
-            scale=self.ghost_scale,
+            method,
+            self.ghost_scale,
         )
 
     def starburst(self) -> jnp.ndarray:

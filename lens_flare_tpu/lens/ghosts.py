@@ -170,6 +170,84 @@ def splat_ghosts(tex, r1s, r2s, colors, axis_ray, width, height, smooth=False, s
     )
 
 
+_SQRT2 = 2.0**0.5
+
+
+def canonical_ghost_card(tex, axis_ray, res: int = 1024):
+    """Rotated ghost card on a res^2 grid spanning [-sqrt2, sqrt2]^2 quad units.
+
+    Every ghost is the SAME image — the aperture texture mapped through
+    draw_ghost's two-triangle uv assignment (pathtracer.cpp:496-498: the
+    second triangle re-uses triangle 1's uvs, mirroring the texture about
+    the quad diagonal) and rotated by the common angle-to-sun — differing
+    only by scale and translation on the film.  Precomputing it once turns
+    the per-ghost splat into a gather-free ``jax.image.scale_and_translate``
+    (separable matmuls on the MXU) instead of a per-pixel texture gather.
+    """
+    h_a, w_a = tex.shape
+    angle = jnp.arctan((axis_ray[1] - 0.5) / (axis_ray[0] - 0.5))
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    ys_, xs_ = jnp.mgrid[0:res, 0:res]
+    lx = (xs_ + 0.5) / res * 2 * _SQRT2 - _SQRT2
+    ly = (ys_ + 0.5) / res * 2 * _SQRT2 - _SQRT2
+    # un-rotate film-local coords into quad coords
+    qx = ca * lx + sa * ly
+    qy = -sa * lx + ca * ly
+    # triangle 1 (ul,ll,ur): u = w(qx+1)/2, v = h(1-qy)/2
+    # triangle 2 (lr,ll,ur) with tri-1 uvs: u = w(qy+1)/2, v = h(1-qx)/2
+    tri1 = qy >= qx
+    u = jnp.where(tri1, w_a * (qx + 1.0) / 2.0, w_a * (qy + 1.0) / 2.0)
+    v = jnp.where(tri1, h_a * (1.0 - qy) / 2.0, h_a * (1.0 - qx) / 2.0)
+    inside = (jnp.abs(qx) <= 1.0) & (jnp.abs(qy) <= 1.0)
+    flat = jnp.clip(jnp.floor(v) * w_a + jnp.floor(u), 0, h_a * w_a - 1).astype(jnp.int32)
+    card = jnp.where(inside, tex.reshape(-1)[flat], 0.0)
+    return card
+
+
+def _linear_taps(out_size, res, s, center):
+    """(out_size, res) two-tap linear weights mapping film pixel o to the
+    canonical card coordinate ((o - center)/s + sqrt2) * res/(2*sqrt2) - 0.5."""
+    o = jax.lax.broadcasted_iota(jnp.float32, (out_size, 1), 0)
+    i = jax.lax.broadcasted_iota(jnp.float32, (1, res), 1)
+    src = ((o - center) / s + _SQRT2) * res / (2.0 * _SQRT2) - 0.5
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src - i))
+
+
+def splat_ghosts_fast(tex, r1s, r2s, colors, axis_ray, width, height, card=None, res: int = 1024):
+    """Gather-free ghost buffer: per-ghost separable resample of the card.
+
+    Each ghost is Wy @ card @ Wx^T with explicit two-tap linear weight
+    matrices — three MXU matmuls, no per-pixel gathers.  Bilinear instead
+    of the reference's nearest texel fetch: not bit-exact vs. the oracle
+    rasterizer (use splat_ghosts for that) but visually equivalent and an
+    order of magnitude faster on large films.
+    """
+    if card is None:
+        card = canonical_ghost_card(tex, axis_ray, res)
+    res = card.shape[0]
+
+    gb_mid_x = jnp.ceil(axis_ray[0] * width)
+    gb_mid_y = jnp.ceil(axis_ray[1] * height)
+    angle = jnp.arctan((axis_ray[1] - 0.5) / (axis_ray[0] - 0.5))
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+
+    def one_ghost(buf, ghost):
+        r1, r2, color = ghost
+        shift_amt = -(r1 + r2) / 2.0 * 0.4
+        s = jnp.maximum(jnp.abs(r2 - r1) * 0.2, 1e-6)
+        cx = gb_mid_x + shift_amt * ca
+        cy = gb_mid_y + shift_amt * sa
+        wy = _linear_taps(height, res, s, cy)  # (H, R)
+        wx = _linear_taps(width, res, s, cx)  # (W, R)
+        img = wy @ card @ wx.T  # (H, W)
+        intensity = 10.0 / jnp.maximum(s * s, 1e-12)
+        return buf + img[:, :, None] * (color * intensity), None
+
+    buf = jnp.zeros((height, width, 3))
+    buf, _ = jax.lax.scan(one_ghost, buf, (r1s, r2s, colors))
+    return buf
+
+
 def splat_eval(tex, r1s, r2s, colors, axis_ray, width, height, xs, ys, smooth=False):
     """Evaluate the additive ghost field at arbitrary pixel coords (P,)."""
     h_a, w_a = tex.shape

@@ -260,6 +260,9 @@ class PallasScene:
     pads every row to 128 lanes and blows VMEM 10x.
     """
 
+    # registered as a pytree (bottom of module) so a PallasScene can ride
+    # inside jit-traced bundles; the cluster shape is static aux data
+
     def __init__(self, wide_bvh, sph_center, sph_radius, num_tris):
         self.top = jnp.asarray(wide_bvh.top_boxes)
         self.child = jnp.asarray(wide_bvh.child_boxes)
@@ -292,6 +295,22 @@ class PallasScene:
             sph[:n_sph, 3] = sph_radius
         self.sph = jnp.asarray(sph)
         self.n_spheres = n_sph
+
+
+def _pscene_flatten(ps):
+    children = (ps.top, ps.child, ps.tri, ps.sph, ps.slot_map)
+    aux = (ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres)
+    return children, aux
+
+
+def _pscene_unflatten(aux, children):
+    ps = object.__new__(PallasScene)
+    ps.top, ps.child, ps.tri, ps.sph, ps.slot_map = children
+    ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres = aux
+    return ps
+
+
+jax.tree_util.register_pytree_node(PallasScene, _pscene_flatten, _pscene_unflatten)
 
 
 @partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile"))

@@ -28,6 +28,9 @@ from .scene.camera import Camera, place_from_scene_info
 from .utils import image as img
 
 
+_render_jit = jax.jit(render_wavefront, static_argnums=(1, 5, 6))  # settings, w, h
+
+
 @dataclass
 class RenderStats:
     wall_time: float = 0.0
@@ -194,10 +197,11 @@ class Renderer:
         cam_params = self.camera.params()
         key = jax.random.PRNGKey(self.seed)
 
-        render_fn = jax.jit(
-            lambda px, py: render_wavefront(
-                self.bundle, self.settings, cam_params, px, py, w, h, key
-            )
+        # module-level jit (settings/size static): the trace + compile is
+        # cached across render() calls and Renderer instances — a fresh
+        # jax.jit(lambda ...) per call re-traced the whole program each time
+        render_fn = lambda px, py: _render_jit(
+            self.bundle, self.settings, cam_params, px, py, w, h, key
         )
 
         ys, xs = np.mgrid[y0 : y0 + dy, x0 : x0 + dx]

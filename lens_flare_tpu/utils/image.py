@@ -93,7 +93,9 @@ def save_png(path, ldr: np.ndarray) -> None:
 
     arr = np.asarray(ldr)
     arr = np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    # compress_level=1: PNG stays lossless; zlib level 9 (PIL default 6)
+    # costs seconds at 1080p for a few percent smaller file
+    Image.fromarray(arr).save(path, compress_level=1)
 
 
 def save_hdr_png(path, hdr: np.ndarray, flip_y: bool = False) -> None:
