@@ -76,10 +76,20 @@ def choose_shape(n_tris: int) -> tuple[int, int, int]:
         (32, 64, 32),
         (64, 64, 32),
         (64, 128, 32),
+        # beyond ~262k triangles the planes exceed the VMEM budget and the
+        # kernel switches to HBM page streaming (B2 = 128 so each top
+        # cluster's children are exactly one DMA page); B1 is capped at 512
+        # (the scalar-free compaction matmul is (B1, B1)) and K grows instead
+        (128, 128, 32),
+        (256, 128, 32),
+        (512, 128, 32),
+        (512, 128, 64),
+        (512, 128, 128),
+        (512, 128, 256),
     ]:
         if b1 * b2 * k >= max(n_tris, 1):
             return b1, b2, k
-    return 64, 128, 32  # 262,144-triangle ceiling; larger scenes use the XLA path
+    return 512, 128, 256  # 16.7M-triangle ceiling; larger scenes use the XLA path
 
 
 def build_wide_bvh(tri_p: np.ndarray, b1: int | None = None, b2: int | None = None, k: int | None = None) -> WideBVH:

@@ -143,7 +143,7 @@ def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
     if bundle.pscene is not None:
         from ..ops.intersect_pallas import intersect_pallas
 
-        t, prim, b1, b2, found = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
+        t, prim, b1, b2, found, _ = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
         hit = finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
     else:
         hit = intersect_rays(bundle.scene, o, d, t_lo, t_hi)
@@ -183,7 +183,7 @@ def trace_occluded(bundle: SceneBundle, o, d, t_lo, t_hi):
         # NOTE: the any-hit early-exit variant measured slower on mostly
         # unoccluded shadow wavefronts (while-loop overhead); closest-hit
         # reuse wins on balance.
-        _, prim, _, _, found = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
+        _, prim, _, _, found, _ = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
         return found
     return occluded_rays(bundle.scene, o, d, t_lo, t_hi)
 

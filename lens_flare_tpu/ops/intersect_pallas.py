@@ -1,4 +1,4 @@
-"""Pallas TPU packet-traversal intersection kernel.
+"""Pallas TPU packet-traversal intersection kernels.
 
 The hot loop of the whole framework (reference: ``bvh.cpp:201-222`` +
 ``triangle.cpp:86-112``), shaped for the TPU vector unit instead of a
@@ -15,8 +15,20 @@ pointer-chasing scalar walk:
   with the winner reduced by a one-hot max instead of a gather
 - spheres (<= 64) are tested brute-force per tile after the cluster walk
 
-VMEM residency: the whole cluster tree lives in VMEM (<= ~6 MB up to 128k
-triangles); larger scenes fall back to the XLA path in ops.intersect.
+Two residency modes (chosen per scene by :class:`PallasScene`):
+
+- **VMEM mode** (<= ~256k triangles): the whole cluster tree lives in VMEM
+  (~9.4 MB of triangle planes at the (64, 128, 32) shape).
+- **HBM-streaming mode** (any size; reference parity with the arbitrary-size
+  BVH of ``bvh.cpp:54-177``): triangle planes and child boxes stay in HBM as
+  per-top-cluster pages of shape (9K, B2) / (B2, 8); the kernel walks the
+  compacted *active* top clusters and double-buffers one page DMA ahead of
+  the child walk, so VMEM use is constant (~2 x 0.6 MB) regardless of scene
+  size and only pages a ray tile can actually hit ever cross the HBM bus.
+
+The kernels also count triangle/sphere intersection *tests* per lane (the
+reference's ``total_isects`` counter, ``bvh.h:136``) so Mrays/s and
+isects/ray are measured, not modeled.
 """
 
 from __future__ import annotations
@@ -35,6 +47,8 @@ INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracer
 # (tools/profile_breakdown.py sweep), and per-tile fixed costs are small
 # since compaction
 TILE = 256
+# VMEM budget for resident triangle planes; larger scenes stream from HBM
+STREAM_THRESHOLD_BYTES = 10 * 2**20
 
 
 def _safe_inv(d):
@@ -85,22 +99,61 @@ def _compact_flags(flags):
     return compact, count
 
 
-def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hit: bool = False, tile: int = TILE):
-    def kernel(
-        rays_ref,  # (8, TILE) [ox oy oz dx dy dz tlo thi]
-        top_ref,  # (B1, 8)
-        child_ref,  # (B1*B2, 8)
-        tri_ref,  # (9*K, B1*B2) component-major planes
-        sph_ref,  # (max(S,1), 8) [cx cy cz r ...]
-        out_t_ref,  # (1, TILE)
-        out_prim_ref,  # (1, TILE) int32
-        out_bary_ref,  # (2, TILE)
-        top_ids_ref,  # scratch VMEM (B1, 1) f32: compacted active top ids
-        top_n_ref,  # scratch VMEM (1, 1) f32: active top count
-        ch_ref,  # scratch VMEM (B2, TILE) f32: child lane masks for the active top
-        ch_ids_ref,  # scratch VMEM (B2, 1) f32: compacted active child ids
-        ch_n_ref,  # scratch VMEM (1, 1) f32: active child count
-    ):
+def _child_boxes_block(child_cm_ref, t_idx, b2):
+    """Extract one top cluster's child boxes as (B2, 8) rows.
+
+    Child boxes are stored component-major (8, B_nodes) because a (N, 8)
+    VMEM array lane-pads 8 -> 128 (16x waste: 16 MB at 32k nodes).  The
+    (B2, 8) row block the slab test wants is recovered with ONE selector
+    matmul — sel (128, B2) one-hot picks the aligned block's columns and
+    the contraction pattern transposes at the same time; no per-lane
+    gather, no Mosaic vector-transpose dependency.
+    """
+    start = t_idx * b2
+    base = pl.multiple_of((start // 128) * 128, 128)
+    off = start - base
+    blk = child_cm_ref[:, pl.ds(base, 128)]  # (8, 128) component-major
+    rows = jax.lax.broadcasted_iota(jnp.int32, (128, b2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (128, b2), 1)
+    sel = (rows == off + cols).astype(jnp.float32)  # (128, B2)
+    # out[c, i] = sum_j sel[j, c] * blk[i, j] = blk[i, off + c]
+    return jax.lax.dot_general(
+        sel, blk, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (B2, 8)
+
+
+def _make_kernel(
+    b1: int,
+    b2: int,
+    k: int,
+    n_spheres: int,
+    num_tris: int,
+    any_hit: bool = False,
+    tile: int = TILE,
+    stream: bool = False,
+):
+    """Kernel factory shared by VMEM-resident and HBM-streaming modes.
+
+    VMEM mode refs: child (B1*B2, 8) VMEM, tri (9K, >=128·ceil(B1·B2/128))
+    VMEM. Stream mode refs: child (B1, B2, 8) HBM, tri (B1, 9K, B2) HBM,
+    DMA'd page-by-page into double-buffered scratch.
+    """
+
+    def kernel(*refs):
+        if stream:
+            (
+                rays_ref, top_ref, child_ref, tri_ref, sph_ref,
+                out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref,
+                top_ids_ref, top_n_ref, ch_ref, ch_ids_ref, ch_n_ref,
+                planes_buf, dma_sems,
+            ) = refs
+        else:
+            (
+                rays_ref, top_ref, child_ref, tri_ref, sph_ref,
+                out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref,
+                top_ids_ref, top_n_ref, ch_ref, ch_ids_ref, ch_n_ref,
+            ) = refs
+
         rays = rays_ref[:]  # (8, TILE)
         o = [rays[i : i + 1, :] for i in range(3)]  # (1, TILE) each
         d = [rays[3 + i : 4 + i, :] for i in range(3)]
@@ -111,6 +164,7 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
         out_t_ref[:] = jnp.full((1, tile), INF, jnp.float32)
         out_prim_ref[:] = jnp.full((1, tile), -1, jnp.int32)
         out_bary_ref[:] = jnp.zeros((2, tile), jnp.float32)
+        out_tests_ref[:] = jnp.zeros((1, tile), jnp.int32)
 
         if b1 > 1:
             top_hits = _box_hits(top_ref[:], o, inv_d, t_lo, t_hi)  # (B1, TILE)
@@ -118,11 +172,35 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
             top_ids, top_n = _compact_flags(top_flags)
             top_ids_ref[:] = top_ids
             top_n_ref[:] = top_n
+            n_top = top_n_ref[0, 0].astype(jnp.int32)
+        else:
+            n_top = 1
+
+        if stream:
+            assert b1 > 1, "streaming requires a top level"
+
+            def page_dma(slot, s_idx):
+                t_idx = top_ids_ref[s_idx, 0].astype(jnp.int32)
+                return pltpu.make_async_copy(
+                    tri_ref.at[t_idx], planes_buf.at[slot], dma_sems.at[slot]
+                )
+
+            @pl.when(n_top > 0)
+            def _():
+                page_dma(0, 0).start()
 
         def top_body(s_idx, _):
             # single-level trees (B1 == 1) skip the top walk entirely
             t_idx = top_ids_ref[s_idx, 0].astype(jnp.int32) if b1 > 1 else 0
-            child_block = child_ref[pl.ds(t_idx * b2, b2), :]  # (B2, 8)
+            if stream:
+                slot = jax.lax.rem(s_idx, 2)
+
+                # prefetch the next active page while walking this one
+                @pl.when(s_idx + 1 < n_top)
+                def _():
+                    page_dma(1 - slot, s_idx + 1).start()
+
+            child_block = _child_boxes_block(child_ref, t_idx, b2)  # (B2, 8)
             child_hits = _box_hits(child_block, o, inv_d, t_lo, t_hi)  # (B2, TILE)
             ch_ref[:] = child_hits.astype(jnp.float32)
             ch_ids, ch_n = _compact_flags(
@@ -134,14 +212,21 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
             def child_body(cs_idx, _):
                 c_idx = ch_ids_ref[cs_idx, 0].astype(jnp.int32)
                 node = t_idx * b2 + c_idx
-                # lane slices must be 128-aligned: load the aligned
-                # 128-node block and one-hot-select our column
-                base = pl.multiple_of((node // 128) * 128, 128)
-                lane = node - base
+                if stream:
+                    # the page's B2 columns are exactly this top's children
+                    lane = c_idx
+                    tri_block = planes_buf[slot]  # (9K, B2)
+                    n_lanes_blk = b2
+                else:
+                    # lane slices must be 128-aligned: load the aligned
+                    # 128-node block and one-hot-select our column
+                    base = pl.multiple_of((node // 128) * 128, 128)
+                    lane = node - base
+                    tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
+                    n_lanes_blk = 128
                 onehot = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == lane
+                    jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes_blk), 1) == lane
                 )
-                tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
                 col = jnp.sum(
                     tri_block * onehot.astype(jnp.float32), axis=1, keepdims=True
                 )  # (9K, 1)
@@ -205,19 +290,32 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
                 cur_bary = out_bary_ref[:]
                 new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
                 out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
+                # K triangle tests for every lane in the chunk's live mask
+                out_tests_ref[:] = out_tests_ref[:] + jnp.where(
+                    lane_mask, jnp.int32(k), 0
+                )
                 return 0
 
             n_child = ch_n_ref[0, 0].astype(jnp.int32)
+            if stream:
+                # waiting here (not before the child slab tests) overlaps the
+                # page DMA with the box matrix + compaction work above
+                page_dma(slot, s_idx).wait()
             jax.lax.fori_loop(0, n_child, child_body, 0)
             return s_idx + 1
 
-        n_top = top_n_ref[0, 0].astype(jnp.int32) if b1 > 1 else 1
         if any_hit:
             # shadow rays: stop as soon as every lane found an occluder
             def top_cond(s_idx):
                 return (s_idx < n_top) & jnp.logical_not(jnp.all(out_prim_ref[:] >= 0))
 
-            jax.lax.while_loop(top_cond, lambda s: top_body(s, None), 0)
+            s_exit = jax.lax.while_loop(top_cond, lambda s: top_body(s, None), 0)
+            if stream:
+                # early exit leaves the prefetched page DMA in flight: drain
+                # it so the kernel never ends with a signaled semaphore
+                @pl.when(s_exit < n_top)
+                def _():
+                    page_dma(jax.lax.rem(s_exit, 2), s_exit).wait()
         else:
             jax.lax.fori_loop(0, n_top, top_body, 0)
 
@@ -245,6 +343,8 @@ def _make_kernel(b1: int, b2: int, k: int, n_spheres: int, num_tris: int, any_hi
             out_prim_ref[:] = jnp.where(
                 improved, jnp.int32(b1 * b2 * k + s_idx), out_prim_ref[:]
             )
+        if n_spheres:
+            out_tests_ref[:] = out_tests_ref[:] + jnp.int32(n_spheres)
 
     return kernel
 
@@ -258,24 +358,48 @@ class PallasScene:
     and a node's component column slices out directly as the (K, 1) vector
     the (K, TILE) intersection math broadcasts — the naive (N, 12) layout
     pads every row to 128 lanes and blows VMEM 10x.
+
+    When the planes exceed the VMEM budget (``STREAM_THRESHOLD_BYTES``) the
+    arrays are reshaped to per-top-cluster pages — tri (B1, 9K, B2) and
+    child boxes (B1, B2, 8) — that live in HBM and are DMA'd page-by-page
+    by the streaming kernel.  ``force_stream`` exists for tests.
     """
 
     # registered as a pytree (bottom of module) so a PallasScene can ride
     # inside jit-traced bundles; the cluster shape is static aux data
 
-    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris):
+    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None):
         self.top = jnp.asarray(wide_bvh.top_boxes)
-        self.child = jnp.asarray(wide_bvh.child_boxes)
         b1, b2, k = wide_bvh.b1, wide_bvh.b2, wide_bvh.k
         n_nodes = b1 * b2
+        planes_bytes = 9 * k * n_nodes * 4
+        stream = planes_bytes > STREAM_THRESHOLD_BYTES and b1 > 1
+        if force_stream is not None:
+            stream = force_stream and b1 > 1
+        self.stream = bool(stream)
+
         soa = wide_bvh.tri_soa.reshape(n_nodes, k, 12)
         planes = np.ascontiguousarray(
             soa.transpose(2, 1, 0)[:9].reshape(9 * k, n_nodes)
         )
-        if n_nodes < 128:
-            # the kernel reads 128-column aligned blocks; pad node columns
-            planes = np.pad(planes, ((0, 0), (0, 128 - n_nodes)))
-        self.tri = jnp.asarray(planes)  # (9*K, max(B_nodes, 128))
+        if self.stream:
+            # per-top HBM pages (B1, 9K, B2); child boxes stay VMEM-resident
+            # (B1*B2*32 bytes <= 2 MB) so only one DMA sits on the walk
+            pages = np.ascontiguousarray(
+                planes.reshape(9 * k, b1, b2).transpose(1, 0, 2)
+            )
+            self.tri = jnp.asarray(pages)
+        else:
+            if n_nodes < 128:
+                # the kernel reads 128-column aligned blocks; pad node columns
+                planes = np.pad(planes, ((0, 0), (0, 128 - n_nodes)))
+            self.tri = jnp.asarray(planes)  # (9*K, max(B_nodes, 128))
+        # child boxes component-major (8, >=128·ceil(B_nodes/128)): a (N, 8)
+        # VMEM array would lane-pad 8 -> 128 and waste 16x the memory
+        child_cm = np.ascontiguousarray(wide_bvh.child_boxes[:, :8].T)
+        if child_cm.shape[1] % 128:
+            child_cm = np.pad(child_cm, ((0, 0), (0, -child_cm.shape[1] % 128)))
+        self.child = jnp.asarray(child_cm)
         # slot -> primitive id map, applied outside the kernel; sphere slots
         # appended after the b1*b2*k triangle slots
         n_sph = len(sph_center)
@@ -299,37 +423,59 @@ class PallasScene:
 
 def _pscene_flatten(ps):
     children = (ps.top, ps.child, ps.tri, ps.sph, ps.slot_map)
-    aux = (ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres)
+    aux = (ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream)
     return children, aux
 
 
 def _pscene_unflatten(aux, children):
     ps = object.__new__(PallasScene)
     ps.top, ps.child, ps.tri, ps.sph, ps.slot_map = children
-    ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres = aux
+    ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream = aux
     return ps
 
 
 jax.tree_util.register_pytree_node(PallasScene, _pscene_flatten, _pscene_unflatten)
 
 
-@partial(jax.jit, static_argnames=("b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile"))
-def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpret=False, any_hit=False, tile=TILE):
+@partial(
+    jax.jit,
+    static_argnames=(
+        "b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile", "stream"
+    ),
+)
+def _launch(
+    rays, top, child, tri, sph,
+    b1, b2, k, n_spheres, num_tris,
+    interpret=False, any_hit=False, tile=TILE, stream=False,
+):
     n_tiles = rays.shape[1] // tile
-    kernel = _make_kernel(b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile)
+    kernel = _make_kernel(
+        b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile, stream=stream
+    )
+    child_spec = pl.BlockSpec(child.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if stream:
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)  # (B1, 9K, B2) HBM
+        extra_scratch = [
+            pltpu.VMEM((2, 9 * k, b2), jnp.float32),  # tri-plane page double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        tri_spec = pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        extra_scratch = []
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((top.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((child.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            child_spec,
+            tri_spec,
             pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((b1, 1), jnp.float32),  # top_ids
@@ -337,10 +483,11 @@ def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpre
             pltpu.VMEM((b2, tile), jnp.float32),  # ch lane masks
             pltpu.VMEM((b2, 1), jnp.float32),  # ch_ids
             pltpu.VMEM((1, 1), jnp.float32),  # ch_n
-        ],
+        ]
+        + extra_scratch,
     )
     n = rays.shape[1]
-    out_t, out_prim, out_bary = pl.pallas_call(
+    out_t, out_prim, out_bary, out_tests = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -348,15 +495,17 @@ def _launch(rays, top, child, tri, sph, b1, b2, k, n_spheres, num_tris, interpre
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
             jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
     )(rays, top, child, tri, sph)
-    return out_t, out_prim, out_bary
+    return out_t, out_prim, out_bary, out_tests
 
 
 def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=TILE):
-    """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit) with N lanes.
+    """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit, tests).
 
-    N is padded internally to a TILE multiple.
+    N is padded internally to a TILE multiple.  ``tests`` is the per-ray
+    count of primitive intersection tests performed (bvh.h:136 parity).
     """
     n = o.shape[0]
     pad = (-n) % tile
@@ -365,7 +514,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
     )  # (8, N)
     if pad:
         rays = jnp.pad(rays, ((0, 0), (0, pad)))
-    out_t, out_prim, out_bary = _launch(
+    out_t, out_prim, out_bary, out_tests = _launch(
         rays,
         pscene.top,
         pscene.child,
@@ -379,6 +528,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         interpret=interpret,
         any_hit=any_hit,
         tile=tile,
+        stream=pscene.stream,
     )
     t = out_t[0, :n]
     slot = out_prim[0, :n]
@@ -386,4 +536,4 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
     prim = jnp.where(hit, pscene.slot_map[jnp.maximum(slot, 0)], -1)
     b1v = out_bary[0, :n]
     b2v = out_bary[1, :n]
-    return t, prim, b1v, b2v, hit
+    return t, prim, b1v, b2v, hit, out_tests[0, :n]

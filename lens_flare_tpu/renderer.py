@@ -134,10 +134,11 @@ class Renderer:
 
         pscene = None
         if self.use_pallas is None:
-            # Pallas kernel: TPU only, scene must fit the VMEM cluster tree
+            # Pallas kernel: TPU only; small scenes ride the VMEM-resident
+            # cluster tree, large ones the HBM page-streaming kernel
             self.use_pallas = (
                 jax.default_backend() not in ("cpu",)
-                and self.scene.num_triangles <= 64 * 128 * 32  # VMEM tree ceiling
+                and self.scene.num_triangles <= 512 * 128 * 256  # streaming ceiling
                 and self.scene.num_spheres <= 64
             )
         if self.use_pallas:

@@ -34,7 +34,7 @@ def _check_scene(path, n_rays=256, seed=0):
         o[i] = oo
         d[i] = dd
 
-    t, prim, b1v, b2v, hit = intersect_pallas(
+    t, prim, b1v, b2v, hit, _tests = intersect_pallas(
         ps,
         jnp.asarray(o),
         jnp.asarray(d),
@@ -68,3 +68,86 @@ def test_pallas_matches_oracle_pyramid(dae_dir):
 def test_pallas_matches_oracle_spheres(dae_dir):
     # mixed triangles + analytic spheres
     assert _check_scene(dae_dir / "sky" / "CBspheres_lambertian.dae", n_rays=128) >= 20
+
+
+def test_choose_shape_streaming_capacity():
+    # beyond the VMEM ceiling the shapes keep B2=128 (one DMA page per top)
+    for n in (300_000, 1_000_000, 4_000_000, 16_000_000):
+        b1, b2, k = choose_shape(n)
+        assert b1 * b2 * k >= n
+        assert b2 == 128
+
+
+def _camera_rays(scene, n_rays, seed=0, width=128, height=128):
+    from lens_flare_tpu.scene.camera import generate_rays
+    import jax
+
+    cam = Camera()
+    center = (scene.bbox_min + scene.bbox_max) / 2
+    extent = float(np.linalg.norm(scene.bbox_max - scene.bbox_min))
+    cam.place(center, np.pi / 3, np.pi / 4, extent, extent / 10, extent * 10)
+    cam.screen_w, cam.screen_h = width, height
+    rng = np.random.default_rng(seed)
+    xs = jnp.asarray(rng.uniform(0, 1, n_rays), jnp.float32)
+    ys = jnp.asarray(rng.uniform(0, 1, n_rays), jnp.float32)
+    o, d = generate_rays(cam.params(), xs, ys)
+    return cam, o, d
+
+
+def test_stream_kernel_matches_vmem_kernel():
+    """The HBM page-streaming kernel is hit-for-hit identical to VMEM mode."""
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=40)  # 3200 triangles
+    n_rays = 512
+    cam, o, d = _camera_rays(scene, n_rays)
+    t_lo = jnp.full(n_rays, cam.n_clip, jnp.float32)
+    t_hi = jnp.full(n_rays, cam.f_clip, jnp.float32)
+
+    # same tree shape for both so hits/slots are comparable exactly
+    wb = build_wide_bvh(scene.tri_p, 4, 128, 8)
+    ps_vmem = PallasScene(
+        wb, scene.sph_center, scene.sph_radius, scene.num_triangles, force_stream=False
+    )
+    ps_stream = PallasScene(
+        wb, scene.sph_center, scene.sph_radius, scene.num_triangles, force_stream=True
+    )
+    assert not ps_vmem.stream and ps_stream.stream
+
+    res_v = intersect_pallas(ps_vmem, o, d, t_lo, t_hi, interpret=True)
+    res_s = intersect_pallas(ps_stream, o, d, t_lo, t_hi, interpret=True)
+    for a, b in zip(res_v, res_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(res_s[4]).sum()) > 100  # plenty of hits
+
+
+def test_stream_kernel_matches_oracle():
+    """Streamed hits agree with the brute-force oracle on a terrain slice."""
+    from lens_flare_tpu.oracle import tracer as oracle
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=24)  # 1152 triangles
+    n_rays = 64
+    cam, o, d = _camera_rays(scene, n_rays, seed=3)
+    t_lo = jnp.full(n_rays, cam.n_clip, jnp.float32)
+    t_hi = jnp.full(n_rays, cam.f_clip, jnp.float32)
+
+    wb = build_wide_bvh(scene.tri_p, 2, 128, 8)
+    ps = PallasScene(
+        wb, scene.sph_center, scene.sph_radius, scene.num_triangles, force_stream=True
+    )
+    assert ps.stream
+    t, prim, _, _, hit, tests = intersect_pallas(ps, o, d, t_lo, t_hi, interpret=True)
+    t, prim, hit = np.asarray(t), np.asarray(prim), np.asarray(hit)
+    o_np, d_np = np.asarray(o, np.float64), np.asarray(d, np.float64)
+    n_hits = 0
+    for i in range(n_rays):
+        ref = oracle.intersect_brute(scene, o_np[i], d_np[i], cam.n_clip, cam.f_clip)
+        if ref is None:
+            assert not hit[i], f"ray {i}: false positive"
+        else:
+            n_hits += 1
+            assert hit[i], f"ray {i}: missed"
+            assert prim[i] == ref["prim"], f"ray {i}"
+            assert abs(t[i] - ref["t"]) < 1e-3 * max(1.0, ref["t"]), f"ray {i}"
+    assert n_hits >= 20
