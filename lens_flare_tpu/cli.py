@@ -37,6 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", type=float, default=0.0, dest="flare_radius", help="lens flare radius")
     p.add_argument("-H", action="store_true", dest="hemisphere", help="uniform hemisphere direct sampling")
     p.add_argument("--indirect", action="store_true", help="enable indirect bounces (Part-4 transport)")
+    p.add_argument(
+        "--lens-model",
+        choices=("paraxial", "realistic"),
+        default="paraxial",
+        dest="lens_model",
+        help="ghost model: paraxial 2x2 matrices (reference parity) or the "
+        "full sequential Snell+Fresnel lens-stack trace (BASELINE config 3)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=0, help="shard the render over N devices (0 = all)")
     return p
@@ -77,6 +85,7 @@ def main(argv=None) -> int:
         flare_intensity=args.flare_intensity,
         flare_radius=args.flare_radius,
         camera_settings=args.cam_settings,
+        lens_model=args.lens_model,
         seed=args.seed,
     )
     print(f"[PathTracer] Loading scene {args.scene}")

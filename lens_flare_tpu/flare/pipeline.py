@@ -98,6 +98,9 @@ class FlarePipeline:
     # "fast": canonical-card scale_and_translate (bilinear, MXU matmuls);
     # "auto": fast for large films, exact for small
     ghost_method: str = "auto"
+    # "paraxial": 2x2 matrix ghosts (reference parity, pathtracer.cpp:511-689)
+    # "realistic": sequential Snell+Fresnel lens-stack trace (BASELINE config 3)
+    lens_model: str = "paraxial"
     _fft_cache: object = None
 
     @classmethod
@@ -129,17 +132,29 @@ class FlarePipeline:
             flare_radius=renderer.flare_radius,
             falloff_key=renderer.seed,
             ghost_scale=getattr(renderer, "flare_ghost_scale", 1),
+            lens_model=getattr(renderer, "lens_model", "paraxial"),
         )
 
     # ------------------------------------------------------------------
 
     def ghost_buffer(self) -> jnp.ndarray:
         """(H, W, 3) additive ghost buffer (generate_ghost_buffer)."""
-        if (
-            self.ghost_aperture is None
-            or self.ghost_aperture.total_value == 0
-            or (self.axis_ray == 0).all()
-        ):
+        if (self.axis_ray == 0).all():
+            return jnp.zeros((self.height, self.width, 3))
+        if self.lens_model == "realistic":
+            # physically-based upgrade path: ghost energy comes from the
+            # Fresnel products of the sequential stack trace, no texture
+            from ..lens.realistic import render_ghosts_stack
+
+            return render_ghosts_stack(
+                self.lens,
+                jnp.float32(self.angle_to_sun),
+                jnp.asarray(self.flare_radiances.sum(axis=0)),
+                jnp.asarray(self.axis_ray, jnp.float32),
+                self.width,
+                self.height,
+            )
+        if self.ghost_aperture is None or self.ghost_aperture.total_value == 0:
             return jnp.zeros((self.height, self.width, 3))
         method = self.ghost_method
         if method == "auto":

@@ -61,6 +61,7 @@ class Renderer:
     flare_intensity: float = 0.0
     flare_radius: float = 0.0
     flare_ghost_scale: int = 1  # >1: subsampled ghost buffer (speed)
+    lens_model: str = "paraxial"  # "realistic": sequential Snell+Fresnel stack
     camera_settings: str | None = None
     bvh_method: str = "sah"
     tile_pixels: int = 1 << 16  # wavefront width per launch
@@ -314,7 +315,11 @@ class Renderer:
 
     def composite_flare(self, hdr: np.ndarray) -> np.ndarray:
         """Add ghost buffer + starburst + falloff if a flare is configured."""
-        if self.aperture_path is None and self.ghost_aperture_path is None:
+        if (
+            self.aperture_path is None
+            and self.ghost_aperture_path is None
+            and self.lens_model != "realistic"
+        ):
             return hdr
         from .flare.pipeline import FlarePipeline
 

@@ -243,3 +243,131 @@ def test_config3_realistic_ghosts_over_env_render(dae_dir):
     out = hdr + np.asarray(ghosts)
     assert np.isfinite(out).all()
     assert out.sum() > hdr.sum()  # ghosts added energy
+
+
+def test_realistic_stack_fd_gradient():
+    """jax.grad == central finite differences THROUGH the full realistic
+    ghost render (trace + Fresnel + bilinear splat), per BASELINE config 3.
+
+    f64 + a smooth spatial loss; the bilinear splat is piecewise-linear in
+    ghost position so the gradient exists a.e. and FD matches closely.
+    """
+    jax.config.update("jax_enable_x64", True)
+    try:
+        lens = reference_prescription(jnp.float64)
+        w = h = 32
+        yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        window = jnp.exp(-(((xx - 14.0) ** 2 + (yy - 20.0) ** 2) / 120.0))
+        # a before-aperture, a spanning, and an after-aperture pair keep the
+        # grad graph (and its compile time) small while covering all event
+        # shapes; the full 13-pair render is exercised by the other tests
+        pairs = ((0, 1), (2, 4), (6, 8))
+
+        def loss(lens):
+            img = render_ghosts_stack(
+                lens,
+                jnp.float64(0.3),
+                jnp.asarray([1.0, 0.9, 0.7]),
+                jnp.asarray([0.6, 0.55]),
+                w,
+                h,
+                pupil_samples=8,
+                pairs=pairs,
+            )
+            return jnp.sum(img * window[:, :, None])
+
+        g = jax.grad(loss)(lens)
+        checked = 0
+        for field in ("spacings", "curvatures"):
+            arr = np.asarray(getattr(lens, field), np.float64)
+            garr = np.asarray(getattr(g, field), np.float64)
+            for idx in range(0, len(arr), 4):
+                eps = 1e-6 * max(abs(arr[idx]), 1.0)
+                lp = lens.replace(**{field: jnp.asarray(arr).at[idx].add(eps)})
+                lm = lens.replace(**{field: jnp.asarray(arr).at[idx].add(-eps)})
+                fd = (float(loss(lp)) - float(loss(lm))) / (2 * eps)
+                an = float(garr[idx])
+                assert abs(fd - an) <= 2e-3 * max(abs(fd), abs(an), 1e-3), (
+                    field, idx, fd, an,
+                )
+                checked += 1
+        assert checked >= 5
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_realistic_pipeline_composite(dae_dir):
+    """--lens-model realistic end-to-end: the FlarePipeline dispatches to the
+    sequential stack trace and adds ghost energy to the film."""
+    from lens_flare_tpu.flare.pipeline import FlarePipeline
+    from lens_flare_tpu.renderer import Renderer
+
+    r = Renderer(width=48, height=48, ns_aa=1, max_ray_depth=1, indirect=False,
+                 lens_model="realistic", tile_pixels=2304)
+    r.load(dae_dir / "pyramid.dae")
+    pipeline = FlarePipeline.from_renderer(r)
+    assert pipeline is not None and pipeline.lens_model == "realistic"
+    gb = np.asarray(pipeline.ghost_buffer())
+    assert gb.shape == (48, 48, 3)
+    assert np.isfinite(gb).all()
+    assert gb.sum() > 0  # the sun is on screen in pyramid.dae
+    hdr = np.zeros((48, 48, 3), np.float32)
+    out = np.asarray(pipeline.composite(jnp.asarray(hdr)))
+    assert (out >= hdr - 1e-6).all()  # flare is strictly additive
+
+
+def test_batched_trace_matches_unrolled():
+    """The event-table lax.scan trace == the per-pair unrolled trace."""
+    from lens_flare_tpu.lens.realistic import (
+        build_event_table,
+        trace_ghosts_batched,
+    )
+    from lens_flare_tpu.lens.paraxial import reference_ghost_pairs
+
+    lens = reference_prescription()
+    rng = np.random.default_rng(0)
+    n = 64
+    o = jnp.asarray(
+        np.stack(
+            [rng.uniform(-14, 14, n), rng.uniform(-14, 14, n), np.full(n, -1.0)],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    d0 = np.array([np.sin(0.3), 0.0, np.cos(0.3)], np.float32)
+    d = jnp.broadcast_to(jnp.asarray(d0), o.shape)
+
+    pairs = reference_ghost_pairs()
+    surf, kind, bwd = build_event_table(pairs, lens.num_interfaces, lens.aperture_index)
+    surf = np.repeat(surf, 3, axis=0)
+    kind = np.repeat(kind, 3, axis=0)
+    bwd = np.repeat(bwd, 3, axis=0)
+    colors = jnp.asarray(np.tile(np.arange(3), len(pairs)), jnp.int32)
+    g = len(pairs) * 3
+    tr = trace_ghosts_batched(
+        lens,
+        jnp.broadcast_to(o, (g,) + o.shape),
+        jnp.broadcast_to(d, (g,) + d.shape),
+        colors,
+        jnp.asarray(surf),
+        jnp.asarray(kind),
+        jnp.asarray(bwd),
+    )
+    n_live = 0
+    for gi, (pair, color) in enumerate(
+        [(p, c) for p in pairs for c in range(3)]
+    ):
+        ref = trace_ghost_stack(lens, o, d, color, pair)
+        np.testing.assert_allclose(
+            np.asarray(tr.energy[gi]), np.asarray(ref.energy), rtol=2e-5, atol=1e-6,
+            err_msg=f"pair={pair} color={color}",
+        )
+        # xy is only meaningful on unvignetted lanes (energy > 0); dead
+        # lanes carry whatever garbage the masked math produced
+        live = np.asarray(ref.energy) > 0
+        n_live += int(live.sum())
+        np.testing.assert_allclose(
+            np.asarray(tr.xy[gi])[live], np.asarray(ref.xy)[live],
+            rtol=1e-3, atol=1e-3, err_msg=f"pair={pair} color={color}",
+        )
+    assert n_live > 500  # the comparison actually covered live rays
