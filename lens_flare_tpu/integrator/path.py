@@ -38,6 +38,7 @@ from .shading import (
     BSDFArrays,
     eval_f,
     get_emission,
+    is_delta,
     local_to_world,
     make_coord_space,
     sample_f,
@@ -249,12 +250,17 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     # lanes that can't contribute (backfacing / zero pdf) get t_hi = 0 so
     # they never activate clusters in the packet kernel
     live = facing & (ls.pdf > 0)
+    # relative shadow clip: area/mesh light sample points lie ON emitter
+    # geometry, and the origin's normal offset (SHADOW_BIAS, up to ~1e-4)
+    # shortens the hit t below the absolute dist - EPS_F clip — the light
+    # then occludes itself and NEE goes black.  1e-3 relative clears the
+    # offset at any scene scale.
     occ = trace_occluded(
         bundle,
         _offset_origin(pts, n_b, ls.wi),
         ls.wi,
         jnp.full(n_slots * n_pts, EPS_F),
-        jnp.where(live, ls.dist - EPS_F, 0.0),
+        jnp.where(live, ls.dist * (1.0 - 1e-3) - EPS_F, 0.0),
     )
     cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
     w_out_b = jnp.broadcast_to(w_out, (n_slots, n_pts, 3)).reshape(-1, 3)
@@ -398,6 +404,18 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
         cos_theta = bs.wi[:, 2] / jnp.maximum(jnp.linalg.norm(bs.wi, axis=-1), 1e-30)
         step = bs.f * (cos_theta / (bs.pdf * CPDF))[:, None]
         throughput = jnp.where(cont[:, None], throughput * step, throughput)
+
+        # Emission pickup through delta lobes: NEE cannot sample a mirror/
+        # glass/refraction path (pdf is a delta), so an area light seen via a
+        # specular bounce would render black without this.  Add the hit
+        # emitter's radiance for delta chains ONLY — diffuse chains already
+        # collect the light via NEE at the previous vertex, so adding it
+        # here too would double count.  (The reference shares this data flow
+        # at pathtracer.cpp:234-280 but its delta BSDFs were stubs;
+        # BASELINE configs 1/3 use real glass/mirror scenes.)
+        delta_bounce = is_delta(bundle.bsdfs, cur_hit.bsdf)
+        emit = get_emission(bundle.bsdfs, nxt.bsdf)
+        L = L + jnp.where((cont & delta_bounce)[:, None], throughput * emit, 0.0)
 
         # direct lighting at the new vertex
         nxt_p = hit_p + wi_world * nxt.t[:, None]

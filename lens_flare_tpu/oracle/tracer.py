@@ -177,7 +177,11 @@ def direct_lighting(scene, bsdfs, ray_o, ray_d, isect, ns_area_light, light_unif
             n_sh = o2w[:, 2]
             side = np.sign(np.dot(n_sh, wi_world))
             offset = n_sh * side * 1e-4 * max(1.0, np.abs(hit_p).max())
-            shadow = intersect_brute(scene, hit_p + offset, wi_world, EPS_F, dist - EPS_F)
+            # relative shadow clip (integrator.path.direct_lighting): emitter
+            # geometry at the sample point must not occlude its own light
+            shadow = intersect_brute(
+                scene, hit_p + offset, wi_world, EPS_F, dist * (1.0 - 1e-3) - EPS_F
+            )
             if shadow is None:
                 cos_theta = wi_obj[2] / np.linalg.norm(wi_obj)
                 f = bsdf_f(bsdfs, isect["bsdf"], -wi_obj, w_out)
