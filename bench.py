@@ -96,23 +96,20 @@ def main():
     fn = jax.jit(
         lambda px, py: render_wavefront(r.bundle, r.settings, cam, px, py, width, height, key)
     )
-    rad, cnt = fn(px, py)  # compile + warmup
+    rad, cnt, st = fn(px, py)  # compile + warmup
     np.asarray(rad)
 
     runs = 5
     t0 = time.perf_counter()
     for _ in range(runs):
-        rad, cnt = fn(px, py)
+        rad, cnt, st = fn(px, py)
     np.asarray(rad)
     dt = (time.perf_counter() - t0) / runs
 
-    # rays per camera sample: primary + NEE shadow rays at the camera vertex,
-    # plus expected RR-continued bounces each with their own NEE
-    total_samples = int(np.asarray(cnt).sum())
-    nee = r.settings.total_light_samples
-    expect_bounces = sum(0.7 ** k for k in range(1, depth))
-    rays_per_sample = (1 + nee) * (1 + expect_bounces)
-    total_rays = total_samples * rays_per_sample
+    # MEASURED ray count: live wavefront lanes summed on device inside the
+    # kernels (raytraced_renderer.cpp:707-709 parity, not an RR model)
+    total_rays = float(np.asarray(st)[0])
+    isects_per_ray = float(np.asarray(st)[1]) / max(total_rays, 1.0)
     mrays = total_rays / dt / 1e6
 
     metric = (
@@ -127,6 +124,8 @@ def main():
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 2),
+                "rays_counted": int(total_rays),
+                "isects_per_ray": round(isects_per_ray, 2),
             }
         )
     )

@@ -128,27 +128,56 @@ class BokehMask:
         h, w = values.shape
         return BokehMask(cdf=jnp.asarray(cdf, jnp.float32), width=w, height=h)
 
-    def sample(self, u):
-        """u (N,) uniforms -> lens points (N, 2) in [-0.5, 0.5]^2."""
+    def sample(self, u, jitter=None):
+        """u (N,) uniforms -> lens points (N, 2) in [-0.5, 0.5]^2.
+
+        Within-texel placement: x uses ``jitter`` (an independent uniform;
+        texel center when None), y re-uses the CDF residual — the fraction
+        of u inside the chosen texel's CDF span is itself uniform, so no
+        extra random number is needed.  Without this the bokeh quantizes to
+        the texel grid at small masks.
+        """
         idx = jnp.clip(jnp.searchsorted(self.cdf, u, side="right"), 0, self.cdf.shape[0] - 1)
+        lo = jnp.where(idx > 0, self.cdf[jnp.maximum(idx - 1, 0)], 0.0)
+        span = jnp.maximum(self.cdf[idx] - lo, 1e-12)
+        jy = jnp.clip((u - lo) / span, 0.0, 1.0)
+        jx = jitter if jitter is not None else 0.5
         y = idx // self.width
         x = idx % self.width
         return jnp.stack(
-            [x.astype(jnp.float32) / self.width - 0.5, y.astype(jnp.float32) / self.height - 0.5],
+            [
+                (x.astype(jnp.float32) + jx) / self.width - 0.5,
+                (y.astype(jnp.float32) + jy) / self.height - 0.5,
+            ],
             axis=-1,
         )
 
 
+def _trace_stats(t_hi, tests):
+    """Measured [rays traced, primitive tests] for one trace call.
+
+    A lane counts as a traced ray when its interval is live (t_hi > 0; dead
+    lanes are fed t_hi = 0 by the integrator).  Accumulated in f32: totals
+    are rate metrics, and per-call sums stay far below f32's 2^24 integer
+    range (raytraced_renderer.cpp:707-709 parity, measured not modeled).
+    """
+    rays = jnp.sum((t_hi > 0).astype(jnp.float32))
+    return jnp.stack([rays, jnp.sum(tests.astype(jnp.float32))])
+
+
 def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
-    """Closest-hit through the Pallas kernel when available, else the XLA path."""
+    """Closest-hit through the Pallas kernel when available, else the XLA path.
+
+    Returns (Hit, stats) with stats = [rays traced, intersection tests].
+    """
     if bundle.pscene is not None:
         from ..ops.intersect_pallas import intersect_pallas
 
-        t, prim, b1, b2, found, _ = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
+        t, prim, b1, b2, found, tests = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
         hit = finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
     else:
-        hit = intersect_rays(bundle.scene, o, d, t_lo, t_hi)
-    return _orient_normals(bundle, d, hit)
+        hit, tests = intersect_rays(bundle.scene, o, d, t_lo, t_hi, return_tests=True)
+    return _orient_normals(bundle, d, hit), _trace_stats(t_hi, tests)
 
 
 # NOTE on ray sorting (measured on v5e, tools/profile_breakdown.py): sorting
@@ -178,15 +207,17 @@ def _orient_normals(bundle: SceneBundle, d, hit):
 
 
 def trace_occluded(bundle: SceneBundle, o, d, t_lo, t_hi):
+    """Any-hit shadow query. Returns (occluded, stats)."""
     if bundle.pscene is not None:
         from ..ops.intersect_pallas import intersect_pallas
 
         # NOTE: the any-hit early-exit variant measured slower on mostly
         # unoccluded shadow wavefronts (while-loop overhead); closest-hit
         # reuse wins on balance.
-        _, prim, _, _, found, _ = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
-        return found
-    return occluded_rays(bundle.scene, o, d, t_lo, t_hi)
+        _, prim, _, _, found, tests = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
+        return found, _trace_stats(t_hi, tests)
+    found, tests = occluded_rays(bundle.scene, o, d, t_lo, t_hi, return_tests=True)
+    return found, _trace_stats(t_hi, tests)
 
 
 def _uniforms(key, n, shape):
@@ -215,7 +246,7 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     """NEE estimate at a batch of shading points (pathtracer.cpp:142-213).
 
     hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,); u_tape: (N, 2S)
-    uniforms. Returns (N, 3).
+    uniforms. Returns ((N, 3) radiance, trace stats).
 
     All NEE slots (one per delta light + ns_area_light per area light) are
     traced as ONE widened shadow-ray wavefront of S*N rays so the BVH
@@ -228,7 +259,7 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
         return _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id)
 
     if len(settings.light_slots) == 0:
-        return jnp.zeros_like(hit_p)
+        return jnp.zeros_like(hit_p), jnp.zeros(2)
 
     n_pts = hit_p.shape[0]
     n_slots = len(settings.light_slots)
@@ -255,7 +286,7 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     # shortens the hit t below the absolute dist - EPS_F clip — the light
     # then occludes itself and NEE goes black.  1e-3 relative clears the
     # offset at any scene scale.
-    occ = trace_occluded(
+    occ, stats = trace_occluded(
         bundle,
         _offset_origin(pts, n_b, ls.wi),
         ls.wi,
@@ -269,7 +300,10 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
     use = facing & jnp.logical_not(occ) & (ls.pdf > 0)
     contrib = jnp.where(use[:, None], contrib, 0.0)
-    return contrib.reshape(n_slots, n_pts, 3).sum(axis=0) / settings.total_light_samples
+    return (
+        contrib.reshape(n_slots, n_pts, 3).sum(axis=0) / settings.total_light_samples,
+        stats,
+    )
 
 
 def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id):
@@ -288,7 +322,7 @@ def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id):
     o2w_b = jnp.broadcast_to(o2w, (num_samples, n_pts, 3, 3)).reshape(-1, 3, 3)
     pts = jnp.broadcast_to(hit_p, (num_samples, n_pts, 3)).reshape(-1, 3)
     wi_world = local_to_world(o2w_b, wi)
-    hit = trace_closest(
+    hit, stats = trace_closest(
         bundle,
         pts,
         wi_world,
@@ -302,14 +336,14 @@ def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id):
     f = eval_f(bundle.bsdfs, bsdf_b, -wi, w_out_b)
     contrib = f * emission * (cos_out / p_w)[:, None]
     contrib = jnp.where(hit.hit[:, None], contrib, 0.0)
-    return contrib.reshape(num_samples, n_pts, 3).sum(axis=0) / num_samples
+    return contrib.reshape(num_samples, n_pts, 3).sum(axis=0) / num_samples, stats
 
 
 def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, keys, px, py, width, height):
     """One radiance sample per pixel lane (est_radiance_global_illumination).
 
     px, py: (N,) integer pixel coords; keys: (N,2) per-lane RNG keys.
-    Returns (N, 3) radiance.
+    Returns ((N, 3) radiance, stats [rays, isect tests]).
     """
     n_lanes = px.shape[0]
     s = max(settings.total_light_samples, 1)
@@ -327,7 +361,9 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     if settings.use_thin_lens and bundle.bokeh is not None:
         from ..scene.camera import generate_rays_bokeh
 
-        o, d = generate_rays_bokeh(cam, x, y, bundle.bokeh.sample(tape[:, 2]))
+        o, d = generate_rays_bokeh(
+            cam, x, y, bundle.bokeh.sample(tape[:, 2], jitter=tape[:, 3])
+        )
     elif settings.use_thin_lens:
         o, d = generate_rays_thin_lens(cam, x, y, tape[:, 2], tape[:, 3])
     else:
@@ -335,7 +371,7 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
 
     t_lo = jnp.full(n_lanes, cam.n_clip)
     t_hi = jnp.full(n_lanes, cam.f_clip)
-    hit = trace_closest(bundle, o, d, t_lo, t_hi)
+    hit, stats = trace_closest(bundle, o, d, t_lo, t_hi)
 
     # miss -> environment lookup (pathtracer.cpp:290-292)
     if bundle.env is not None:
@@ -347,15 +383,19 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     # zero bounce
     L = get_emission(bundle.bsdfs, hit.bsdf)
     # camera-vertex direct
-    L = L + direct_lighting(
+    Ld, st = direct_lighting(
         bundle, settings, tape[:, 4 : 4 + 2 * s], hit_p, hit.n, -d, hit.bsdf
     )
+    L = L + Ld
+    stats = stats + st
 
     if settings.indirect and settings.max_ray_depth > 1:
-        L = L + _indirect(bundle, settings, tape[:, 4 + 2 * s :], o, d, hit)
+        Li, st = _indirect(bundle, settings, tape[:, 4 + 2 * s :], o, d, hit)
+        L = L + Li
+        stats = stats + st
 
     L = jnp.where(hit.hit[:, None], L, L_miss)
-    return L
+    return L, stats
 
 
 def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
@@ -372,7 +412,7 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
 
     def bounce_body(carry, xs):
         bounce, u_b = xs  # u_b: (N, 4+2S)
-        cur_o, cur_d, cur_hit, throughput, active, L = carry
+        cur_o, cur_d, cur_hit, throughput, active, L, stats = carry
         depth_remaining = settings.max_ray_depth - (bounce - 1)
 
         # RR continuation at the current vertex (pathtracer.cpp:254)
@@ -392,13 +432,14 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
         hit_p = cur_o + cur_d * safe_t[:, None]
         # dead lanes (RR-terminated / invalid sample) get t_hi = 0 so they
         # never activate clusters in the packet kernel
-        nxt = trace_closest(
+        nxt, st = trace_closest(
             bundle,
             _offset_origin(hit_p, cur_hit.n, wi_world),
             wi_world,
             jnp.full(n_lanes, EPS_F),
             jnp.where(cont, 1e30, 0.0),
         )
+        stats = stats + st
         cont = cont & nxt.hit
 
         cos_theta = bs.wi[:, 2] / jnp.maximum(jnp.linalg.norm(bs.wi, axis=-1), 1e-30)
@@ -419,24 +460,29 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
 
         # direct lighting at the new vertex
         nxt_p = hit_p + wi_world * nxt.t[:, None]
-        Ld = direct_lighting(
+        Ld, st = direct_lighting(
             bundle, settings, u_b[:, 4:], nxt_p, nxt.n, -wi_world, nxt.bsdf
         )
+        stats = stats + st
         L = L + jnp.where(cont[:, None], throughput * Ld, 0.0)
 
-        return (hit_p, wi_world, nxt, throughput, cont, L), None
+        return (hit_p, wi_world, nxt, throughput, cont, L, stats), None
 
-    init = (o, d, hit, jnp.ones((n_lanes, 3)), hit.hit, jnp.zeros((n_lanes, 3)))
-    (_, _, _, _, _, L), _ = jax.lax.scan(
+    init = (
+        o, d, hit, jnp.ones((n_lanes, 3)), hit.hit, jnp.zeros((n_lanes, 3)),
+        jnp.zeros(2),
+    )
+    (_, _, _, _, _, L, stats), _ = jax.lax.scan(
         bounce_body, init, (jnp.arange(1, settings.max_ray_depth), tape_b)
     )
-    return L
+    return L, stats
 
 
 def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, px, py, width, height, key):
     """Adaptive-sampled radiance for a batch of pixels (raytrace_pixel).
 
-    px, py: (P,) pixel integer coords.  Returns (radiance (P,3), counts (P,)).
+    px, py: (P,) pixel integer coords.  Returns (radiance (P,3), counts (P,),
+    stats [rays traced, isect tests] — measured on-device, psum-able).
     """
     n_px = px.shape[0]
     pixel_ids = (py * width + px).astype(jnp.uint32)
@@ -447,26 +493,26 @@ def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraP
 
     def one_sample(s_idx, converged):
         keys = _fold(base_keys, jnp.uint32(s_idx))
-        rad = radiance_sample(bundle, settings, cam, keys, px, py, width, height)
+        rad, stats = radiance_sample(bundle, settings, cam, keys, px, py, width, height)
         use = jnp.logical_not(converged) & (s_idx < settings.ns_aa)
-        return jnp.where(use[:, None], rad, 0.0), use
+        return jnp.where(use[:, None], rad, 0.0), use, stats
 
     def batch_body(carry, b):
-        film, s1, s2, count, converged = carry
+        film, s1, s2, count, converged, stats = carry
 
         def sample_body(c, j):
-            film, s1, s2, count = c
+            film, s1, s2, count, stats = c
             s_idx = b * spb + j
-            rad, use = one_sample(s_idx, converged)
+            rad, use, st = one_sample(s_idx, converged)
             illum = 0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
             film = film + rad
             s1 = s1 + jnp.where(use, illum, 0.0)
             s2 = s2 + jnp.where(use, illum * illum, 0.0)
             count = count + use.astype(jnp.int32)
-            return (film, s1, s2, count), None
+            return (film, s1, s2, count, stats + st), None
 
-        (film, s1, s2, count), _ = jax.lax.scan(
-            sample_body, (film, s1, s2, count), jnp.arange(spb)
+        (film, s1, s2, count, stats), _ = jax.lax.scan(
+            sample_body, (film, s1, s2, count, stats), jnp.arange(spb)
         )
 
         # 95% CI early-stop (pathtracer.cpp:862-868)
@@ -474,7 +520,7 @@ def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraP
         var = 1.0 / (n - 1.0) * jnp.maximum(s2 - s1 * s1 / n, 0.0)
         ci = 1.96 * jnp.sqrt(var) / jnp.sqrt(n)
         converged = converged | (ci <= settings.max_tolerance * s1 / n)
-        return (film, s1, s2, count, converged), None
+        return (film, s1, s2, count, converged, stats), None
 
     init = (
         jnp.zeros((n_px, 3)),
@@ -482,14 +528,15 @@ def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraP
         jnp.zeros(n_px),
         jnp.zeros(n_px, jnp.int32),
         jnp.zeros(n_px, bool),
+        jnp.zeros(2),
     )
     adaptive = settings.ns_aa > spb
     if adaptive:
-        (film, s1, s2, count, converged), _ = jax.lax.scan(
+        (film, s1, s2, count, converged, stats), _ = jax.lax.scan(
             batch_body, init, jnp.arange(n_batches)
         )
     else:
-        (film, s1, s2, count, converged), _ = batch_body(init, 0)
+        (film, s1, s2, count, converged, stats), _ = batch_body(init, 0)
 
     radiance = film / jnp.maximum(count, 1)[:, None]
-    return radiance, count
+    return radiance, count, stats

@@ -153,7 +153,11 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
     """Build the per-ray traversal fn (closed over static sizes)."""
 
     def traverse(scene: SceneArrays, o, d, t_lo, t_hi):
-        inv_d = 1.0 / d
+        # NaN-safe reciprocal (intersect_pallas._safe_inv): raw 1/d with a
+        # zero component and the origin on the slab plane gives 0*inf = NaN
+        # and the comparisons silently drop the node
+        eps = 1e-12
+        inv_d = 1.0 / jnp.where(d >= 0, jnp.maximum(d, eps), jnp.minimum(d, -eps))
 
         stack = jnp.zeros(max_stack, jnp.int32)
         # state: (stack, sp, best_t, best_prim, best_b1, best_b2)
@@ -161,14 +165,14 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
         sp = jnp.where(root_hit, 1, 0).astype(jnp.int32)
 
         def cond(state):
-            _stack, sp, _t, _prim, _b1, _b2, found = state
+            _stack, sp, _t, _prim, _b1, _b2, found, _tests = state
             alive = sp > 0
             if any_hit:
                 alive = alive & jnp.logical_not(found)
             return alive
 
         def body(state):
-            stack, sp, best_t, best_prim, best_b1, best_b2, found = state
+            stack, sp, best_t, best_prim, best_b1, best_b2, found, tests = state
             # vmap lockstep: the body also runs for lanes whose own cond is
             # false (sp == 0, or any-hit already found).  Without this guard
             # such lanes pop with sp-1 == -1 (clamped reads), "resurrect" by
@@ -185,7 +189,7 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
 
             # --- leaf: test up to max_leaf primitives (masked) ---
             def leaf_scan(carry, i):
-                best_t, best_prim, best_b1, best_b2, found = carry
+                best_t, best_prim, best_b1, best_b2, found, tests = carry
                 valid_slot = i < count
                 pidx = scene.prim_order[jnp.minimum(start + i, scene.prim_order.shape[0] - 1)]
                 is_tri = pidx < num_tris
@@ -207,11 +211,13 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
                 best_b1 = jnp.where(better & is_tri, b1, best_b1)
                 best_b2 = jnp.where(better & is_tri, b2, best_b2)
                 found = found | valid
-                return (best_t, best_prim, best_b1, best_b2, found), None
+                # primitive intersection tests actually performed (bvh.h:136)
+                tests = tests + (valid_slot & is_leaf & lane_active).astype(jnp.int32)
+                return (best_t, best_prim, best_b1, best_b2, found, tests), None
 
-            (best_t, best_prim, best_b1, best_b2, found), _ = jax.lax.scan(
+            (best_t, best_prim, best_b1, best_b2, found, tests), _ = jax.lax.scan(
                 leaf_scan,
-                (best_t, best_prim, best_b1, best_b2, found),
+                (best_t, best_prim, best_b1, best_b2, found, tests),
                 jnp.arange(max_leaf),
             )
 
@@ -239,26 +245,38 @@ def _make_traverse(num_tris: int, max_leaf: int, max_stack: int, any_hit: bool):
             stack = stack.at[sp].set(jnp.where(second_ok, second, stack[sp]))
             sp = sp + second_ok.astype(jnp.int32)
 
-            return (stack, sp, best_t, best_prim, best_b1, best_b2, found)
+            return (stack, sp, best_t, best_prim, best_b1, best_b2, found, tests)
 
-        init = (stack, sp, INF, jnp.int32(-1), jnp.float32(0), jnp.float32(0), jnp.array(False))
-        _, _, best_t, best_prim, best_b1, best_b2, found = jax.lax.while_loop(cond, body, init)
-        return best_t, best_prim, best_b1, best_b2, found
+        init = (
+            stack, sp, INF, jnp.int32(-1), jnp.float32(0), jnp.float32(0),
+            jnp.array(False), jnp.int32(0),
+        )
+        _, _, best_t, best_prim, best_b1, best_b2, found, tests = jax.lax.while_loop(
+            cond, body, init
+        )
+        return best_t, best_prim, best_b1, best_b2, found, tests
 
     return traverse
 
 
-def intersect_rays(scene: SceneArrays, o, d, t_lo, t_hi, max_leaf: int = 4, max_stack: int = 64) -> Hit:
+def intersect_rays(
+    scene: SceneArrays, o, d, t_lo, t_hi, max_leaf: int = 4, max_stack: int = 64,
+    return_tests: bool = False,
+) -> Hit:
     """Closest-hit intersection for a wavefront of rays.
 
-    o, d: (N, 3); t_lo, t_hi: (N,) scalars per ray.
+    o, d: (N, 3); t_lo, t_hi: (N,) scalars per ray.  With ``return_tests``
+    also returns the per-ray primitive intersection-test counts.
     """
     num_tris = int(scene.tri_p0.shape[0])
     traverse = _make_traverse(num_tris, max_leaf, max_stack, any_hit=False)
-    t, prim, b1, b2, found = jax.vmap(
+    t, prim, b1, b2, found, tests = jax.vmap(
         lambda oo, dd, lo, hi: traverse(scene, oo, dd, lo, hi)
     )(o, d, t_lo, t_hi)
-    return finalize_hit(scene, o, d, t, prim, b1, b2, found)
+    hit = finalize_hit(scene, o, d, t, prim, b1, b2, found)
+    if return_tests:
+        return hit, tests
+    return hit
 
 
 def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
@@ -298,11 +316,16 @@ def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
     return Hit(t=t, prim=prim, bsdf=bsdf, n=n, hit=found)
 
 
-def occluded_rays(scene: SceneArrays, o, d, t_lo, t_hi, max_leaf: int = 4, max_stack: int = 64):
+def occluded_rays(
+    scene: SceneArrays, o, d, t_lo, t_hi, max_leaf: int = 4, max_stack: int = 64,
+    return_tests: bool = False,
+):
     """Any-hit query for shadow rays (bvh.cpp:179-199 short-circuit)."""
     num_tris = int(scene.tri_p0.shape[0])
     traverse = _make_traverse(num_tris, max_leaf, max_stack, any_hit=True)
-    _, _, _, _, found = jax.vmap(
+    _, _, _, _, found, tests = jax.vmap(
         lambda oo, dd, lo, hi: traverse(scene, oo, dd, lo, hi)
     )(o, d, t_lo, t_hi)
+    if return_tests:
+        return found, tests
     return found

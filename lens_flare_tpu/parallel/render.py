@@ -33,7 +33,9 @@ def render_sharded(bundle, settings, cam, px, py, width, height, key, mesh=None)
 
     fn = jax.jit(
         lambda b, x, y: render_wavefront(b, settings, cam, x, y, width, height, key),
-        out_shardings=(data_sharding, data_sharding),
+        # stats are a global sum over the sharded lanes: XLA all-reduces them
+        # and the (2,) vector comes back replicated
+        out_shardings=(data_sharding, data_sharding, None),
     )
     return fn(bundle, px, py)
 

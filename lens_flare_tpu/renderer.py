@@ -35,8 +35,10 @@ _render_jit = jax.jit(render_wavefront, static_argnums=(1, 5, 6))  # settings, w
 class RenderStats:
     wall_time: float = 0.0
     bvh_build_time: float = 0.0
-    total_rays: int = 0
+    total_rays: int = 0  # measured on device (live wavefront lanes)
+    total_isects: int = 0  # measured primitive intersection tests
     mrays_per_s: float = 0.0
+    isects_per_ray: float = 0.0
 
 
 @dataclass
@@ -117,13 +119,19 @@ class Renderer:
         self.stats.bvh_build_time = time.perf_counter() - t0
 
         env = None
+        lt = self.scene.lights
         if self.envmap is not None:
+            import copy
+
             from .integrator.envlight import build_env
             from .integrator.lights import LT_ENV
 
             env = build_env(self.envmap)
-            # envLight participates in NEE (raytraced_renderer.cpp:127-128)
-            lt = self.scene.lights
+            # envLight participates in NEE (raytraced_renderer.cpp:127-128).
+            # Extend a COPY: mutating scene.lights in place would duplicate
+            # the env row on a second _build() (e.g. after set_frame_size)
+            # and skew NEE normalization.
+            lt = copy.deepcopy(lt)
             lt.light_type = np.append(lt.light_type, LT_ENV).astype(np.int32)
             lt.radiance = np.vstack([lt.radiance, np.zeros(3, np.float32)])
             lt.position = np.vstack([lt.position, np.zeros(3, np.float32)])
@@ -161,13 +169,13 @@ class Renderer:
         self.bundle = SceneBundle(
             scene=scene_to_device(self.scene, bvh),
             bsdfs=bsdf_to_device(self.scene.bsdfs),
-            lights=lights_to_device(self.scene.lights),
+            lights=lights_to_device(lt),
             env=env,
             pscene=pscene,
             bokeh=bokeh,
         )
         self.settings = make_settings(
-            self.scene.lights,
+            lt,
             ns_aa=self.ns_aa,
             max_ray_depth=self.max_ray_depth,
             ns_area_light=self.ns_area_light,
@@ -225,6 +233,7 @@ class Renderer:
 
         film = np.zeros((h, w, 3), np.float32)
         counts = np.zeros((h, w), np.int32)
+        total_stats = np.zeros(2, np.float64)  # [rays, isect tests], measured
 
         tile = self.tile_pixels
         t_start = time.perf_counter()
@@ -249,9 +258,10 @@ class Renderer:
                 pad = tile - len(px)  # pad to avoid recompilation
                 px = np.pad(px, (0, pad), mode="edge")
                 py = np.pad(py, (0, pad), mode="edge")
-            rad, cnt = render_fn(jnp.asarray(px), jnp.asarray(py))
+            rad, cnt, st = render_fn(jnp.asarray(px), jnp.asarray(py))
             rad = np.asarray(rad)
             cnt = np.asarray(cnt)
+            total_stats += np.asarray(st, np.float64)
             if pad:
                 rad, cnt = rad[: len(xs[sl])], cnt[: len(xs[sl])]
             film[ys[sl], xs[sl]] = rad
@@ -262,20 +272,19 @@ class Renderer:
                 print(f"\r[PathTracer] Rendering... {100 * (ti + 1) // n_tiles}%", end="", flush=True)
 
         self.stats.wall_time = time.perf_counter() - t_start
-        # ray counting: primary rays + NEE shadow rays per vertex (estimate from counts)
-        total_samples = int(counts.sum())
-        rays_per_sample = 1 + self.settings.total_light_samples
-        if self.settings.indirect and self.max_ray_depth > 1:
-            # expected path length under RR
-            expect_bounces = sum(0.7 ** k for k in range(1, self.max_ray_depth))
-            rays_per_sample += expect_bounces * (1 + self.settings.total_light_samples)
-        self.stats.total_rays = int(total_samples * rays_per_sample)
+        # measured on device (raytraced_renderer.cpp:707-709 parity): live
+        # wavefront lanes and primitive tests counted inside the kernels
+        self.stats.total_rays = int(total_stats[0])
+        self.stats.total_isects = int(total_stats[1])
         self.stats.mrays_per_s = self.stats.total_rays / max(self.stats.wall_time, 1e-9) / 1e6
+        self.stats.isects_per_ray = self.stats.total_isects / max(self.stats.total_rays, 1)
         if progress:
             print(
                 f"\n[PathTracer] Rendering complete: {self.stats.wall_time:.4f} sec\n"
                 f"[PathTracer] Rays traced: {self.stats.total_rays} "
-                f"({self.stats.mrays_per_s:.2f} Mrays/s)"
+                f"({self.stats.mrays_per_s:.2f} Mrays/s)\n"
+                f"[PathTracer] Intersection tests per ray: "
+                f"{self.stats.isects_per_ray:.2f}"
             )
         return film, counts
 
@@ -302,7 +311,7 @@ class Renderer:
             jnp.asarray([x / self.width], jnp.float32),
             jnp.asarray([y / self.height], jnp.float32),
         )
-        hit = trace_closest(
+        hit, _ = trace_closest(
             self.bundle,
             o,
             d,

@@ -58,7 +58,7 @@ def test_direct_lighting_matches_oracle(pyramid_scene):
     s = settings.total_light_samples
     u_tape = jax.vmap(lambda k: jax.random.uniform(k, (2 * s,)))(keys)
     L = jax.jit(
-        lambda hp, n, wo, b: direct_lighting(bundle, settings, u_tape, hp, n, wo, b)
+        lambda hp, n, wo, b: direct_lighting(bundle, settings, u_tape, hp, n, wo, b)[0]
     )(jnp.asarray(hit_p), hit.n, -jnp.asarray(dirs), hit.bsdf)
     L = np.asarray(L)
 

@@ -50,9 +50,12 @@ def test_render_matches_oracle_expectation(dae_dir):
     px = jnp.asarray(xs.ravel())
     py = jnp.asarray(ys.ravel())
     key = jax.random.PRNGKey(0)
-    rad, cnt = jax.jit(
+    rad, cnt, stats = jax.jit(
         lambda px, py: render_wavefront(bundle, settings, cam.params(), px, py, W, H, key)
     )(px, py)
+    # measured ray counter sanity: at least primary + one NEE ray per sample
+    assert float(stats[0]) >= W * H * spp
+    assert float(stats[1]) > 0  # intersection tests were counted
     rad = np.asarray(rad).reshape(H, W, 3)
     assert int(np.asarray(cnt).min()) == spp
 

@@ -207,7 +207,7 @@ def test_adaptive_sampling_stops_early(pyramid_scene):
     place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
 
     ys, xs = np.mgrid[0:16, 0:16]
-    rad, cnt = jax.jit(
+    rad, cnt, _stats = jax.jit(
         lambda px, py: render_wavefront(
             bundle, settings, cam.params(), px, py, 16, 16, jax.random.PRNGKey(0)
         )
@@ -371,3 +371,20 @@ def test_batched_trace_matches_unrolled():
             rtol=1e-3, atol=1e-3, err_msg=f"pair={pair} color={color}",
         )
     assert n_live > 500  # the comparison actually covered live rays
+
+
+def test_bokeh_sampling_jitters_within_texels():
+    """Lens samples cover texel interiors, not just the texel grid (r1 w6)."""
+    mask = np.zeros((8, 8), np.float32)
+    mask[2, 3] = 1.0  # single live texel
+    bm = BokehMask.from_texture(mask)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (512,))
+    jit_u = jax.random.uniform(jax.random.PRNGKey(2), (512,))
+    uv = np.asarray(bm.sample(u, jitter=jit_u))
+    # all inside the one texel
+    assert (uv[:, 0] >= 3 / 8 - 0.5).all() and (uv[:, 0] <= 4 / 8 - 0.5).all()
+    assert (uv[:, 1] >= 2 / 8 - 0.5).all() and (uv[:, 1] <= 3 / 8 - 0.5).all()
+    # and spread across its interior (not quantized to one point)
+    assert len(np.unique(np.round(uv[:, 0], 4))) > 100
+    assert len(np.unique(np.round(uv[:, 1], 4))) > 100
+    assert uv[:, 0].std() > 0.01 and uv[:, 1].std() > 0.01

@@ -127,3 +127,22 @@ def test_cli_end_to_end(dae_dir, tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert out.exists()
     assert (tmp_path / "out_rate.png").exists()
+
+
+def test_build_idempotent_with_envmap(dae_dir):
+    """_build() twice must not duplicate the env-light NEE row (VERDICT r1 w5)."""
+    import numpy as np
+
+    from lens_flare_tpu.renderer import Renderer
+
+    env = np.full((4, 8, 3), 0.5, np.float32)
+    r = Renderer(width=16, height=16, ns_aa=1, max_ray_depth=1, indirect=False, envmap=env)
+    r.load(dae_dir / "pyramid.dae")
+    n_rows = int(r.bundle.lights.light_type.shape[0])
+    n_scene_rows = len(r.scene.lights.light_type)
+    assert n_rows == n_scene_rows + 1  # scene table itself untouched
+    r.set_frame_size(24, 16)
+    r._build()
+    assert int(r.bundle.lights.light_type.shape[0]) == n_rows
+    assert len(r.scene.lights.light_type) == n_scene_rows
+    assert r.settings.total_light_samples == n_rows  # ns_area_light=1
