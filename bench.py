@@ -94,22 +94,29 @@ def main():
     py = jnp.asarray(ys[order])
 
     fn = jax.jit(
-        lambda px, py: render_wavefront(r.bundle, r.settings, cam, px, py, width, height, key)
+        lambda px, py, key: render_wavefront(r.bundle, r.settings, cam, px, py, width, height, key)
     )
-    rad, cnt, st = fn(px, py)  # compile + warmup
+    rad, cnt, st = fn(px, py, key)  # compile + warmup
     np.asarray(rad)
 
+    # each timed run gets a fresh key: distinct inputs, so the timing can't
+    # hide behind one warmed value, and every run's result is fetched
     runs = 5
+    total_rays = 0.0
+    total_isects = 0.0
     t0 = time.perf_counter()
-    for _ in range(runs):
-        rad, cnt, st = fn(px, py)
+    for i in range(runs):
+        rad, cnt, st = fn(px, py, jax.random.fold_in(key, i))
+        st = np.asarray(st)
+        total_rays += float(st[0])
+        total_isects += float(st[1])
     np.asarray(rad)
     dt = (time.perf_counter() - t0) / runs
 
     # MEASURED ray count: live wavefront lanes summed on device inside the
     # kernels (raytraced_renderer.cpp:707-709 parity, not an RR model)
-    total_rays = float(np.asarray(st)[0])
-    isects_per_ray = float(np.asarray(st)[1]) / max(total_rays, 1.0)
+    total_rays /= runs
+    isects_per_ray = (total_isects / runs) / max(total_rays, 1.0)
     mrays = total_rays / dt / 1e6
 
     metric = (

@@ -478,6 +478,46 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
     return L, stats
 
 
+def render_batch(
+    bundle: SceneBundle,
+    settings: RenderSettings,
+    cam: CameraParams,
+    px,
+    py,
+    width,
+    height,
+    key,
+    s_offset,
+    n_samples: int,
+):
+    """Unconditionally trace ``n_samples`` samples for every lane.
+
+    The building block of host-repacked adaptive sampling: the Renderer
+    compacts unconverged pixels between batches and calls this on the
+    shrinking wavefront, so converged pixels stop costing device time
+    (the in-graph lockstep loop in :func:`render_wavefront` only masks
+    their statistics).  ``s_offset`` is traced — batches reuse one
+    compiled program; RNG depends only on (pixel id, sample index), so
+    packing doesn't change any sample.
+
+    Returns (film sum (N,3), s1 (N,), s2 (N,), stats (2,)).
+    """
+    pixel_ids = (py * width + px).astype(jnp.uint32)
+    base_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pixel_ids)
+    n_px = px.shape[0]
+
+    def sample_body(carry, j):
+        film, s1, s2, stats = carry
+        keys = _fold(base_keys, (s_offset + j).astype(jnp.uint32))
+        rad, st = radiance_sample(bundle, settings, cam, keys, px, py, width, height)
+        illum = 0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
+        return (film + rad, s1 + illum, s2 + illum * illum, stats + st), None
+
+    init = (jnp.zeros((n_px, 3)), jnp.zeros(n_px), jnp.zeros(n_px), jnp.zeros(2))
+    (film, s1, s2, stats), _ = jax.lax.scan(sample_body, init, jnp.arange(n_samples))
+    return film, s1, s2, stats
+
+
 def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, px, py, width, height, key):
     """Adaptive-sampled radiance for a batch of pixels (raytrace_pixel).
 

@@ -20,7 +20,13 @@ import numpy as np
 
 from .accel import build_bvh
 from .integrator.lights import lights_to_device
-from .integrator.path import RenderSettings, SceneBundle, make_settings, render_wavefront
+from .integrator.path import (
+    RenderSettings,
+    SceneBundle,
+    make_settings,
+    render_batch,
+    render_wavefront,
+)
 from .integrator.shading import bsdf_to_device
 from .ops import scene_to_device
 from .scene.build import FlatScene, load_scene
@@ -29,6 +35,7 @@ from .utils import image as img
 
 
 _render_jit = jax.jit(render_wavefront, static_argnums=(1, 5, 6))  # settings, w, h
+_batch_jit = jax.jit(render_batch, static_argnums=(1, 5, 6, 9))  # + n_samples
 
 
 @dataclass
@@ -249,27 +256,43 @@ class Renderer:
                 if progress:
                     print(f"[PathTracer] resuming at tile {start_tile}/{n_tiles}")
 
-        for ti in range(start_tile, n_tiles):
-            sl = slice(ti * tile, min((ti + 1) * tile, n_px))
-            px = xs[sl]
-            py = ys[sl]
-            pad = 0
-            if len(px) < tile and n_tiles > 1:
-                pad = tile - len(px)  # pad to avoid recompilation
-                px = np.pad(px, (0, pad), mode="edge")
-                py = np.pad(py, (0, pad), mode="edge")
-            rad, cnt, st = render_fn(jnp.asarray(px), jnp.asarray(py))
-            rad = np.asarray(rad)
-            cnt = np.asarray(cnt)
-            total_stats += np.asarray(st, np.float64)
-            if pad:
-                rad, cnt = rad[: len(xs[sl])], cnt[: len(xs[sl])]
-            film[ys[sl], xs[sl]] = rad
-            counts[ys[sl], xs[sl]] = cnt
-            if checkpoint_path is not None:
-                np.savez(checkpoint_path, film=film, counts=counts, next_tile=ti + 1, n_tiles=n_tiles)
-            if progress:
-                print(f"\r[PathTracer] Rendering... {100 * (ti + 1) // n_tiles}%", end="", flush=True)
+        # host-repacked adaptive sampling: converged pixels leave the
+        # wavefront between batches, so `-a` saves device time instead of
+        # merely masking statistics (the reference stops per-pixel work at
+        # pathtracer.cpp:862-868; here whole lanes are compacted away)
+        adaptive = (
+            self.ns_aa > self.settings.samples_per_batch and self.max_tolerance > 0
+        )
+        if adaptive:
+            if start_tile < n_tiles:  # not already complete from a checkpoint
+                rad, cnt, st = self._adaptive_render(cam_params, key, xs, ys, progress)
+                total_stats += st
+                film[ys, xs] = rad
+                counts[ys, xs] = cnt
+                if checkpoint_path is not None:
+                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=n_tiles, n_tiles=n_tiles)
+        else:
+            for ti in range(start_tile, n_tiles):
+                sl = slice(ti * tile, min((ti + 1) * tile, n_px))
+                px = xs[sl]
+                py = ys[sl]
+                pad = 0
+                if len(px) < tile and n_tiles > 1:
+                    pad = tile - len(px)  # pad to avoid recompilation
+                    px = np.pad(px, (0, pad), mode="edge")
+                    py = np.pad(py, (0, pad), mode="edge")
+                rad, cnt, st = render_fn(jnp.asarray(px), jnp.asarray(py))
+                if pad:
+                    rad, cnt = rad[: len(xs[sl])], cnt[: len(xs[sl])]
+                rad = np.asarray(rad)
+                cnt = np.asarray(cnt)
+                total_stats += np.asarray(st, np.float64)
+                film[ys[sl], xs[sl]] = rad
+                counts[ys[sl], xs[sl]] = cnt
+                if checkpoint_path is not None:
+                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=ti + 1, n_tiles=n_tiles)
+                if progress:
+                    print(f"\r[PathTracer] Rendering... {100 * (ti + 1) // n_tiles}%", end="", flush=True)
 
         self.stats.wall_time = time.perf_counter() - t_start
         # measured on device (raytraced_renderer.cpp:707-709 parity): live
@@ -287,6 +310,102 @@ class Renderer:
                 f"{self.stats.isects_per_ray:.2f}"
             )
         return film, counts
+
+    def _adaptive_render(self, cam_params, key, xs, ys, progress):
+        """Adaptive sampling with host re-packing (pathtracer.cpp:862-868).
+
+        Stage-major pipelined: within a stage every tile's batch is
+        dispatched asynchronously before any result is read back, so the
+        device pipelines tile launches and the host pays one round trip
+        per *stage* instead of one per (tile, stage).  At stage boundaries
+        converged pixels leave the wavefront (95% CI test) and the global
+        active set is re-packed into fresh tiles, so ``-a`` saves device
+        time instead of merely masking statistics.  RNG is a pure function
+        of (pixel id, sample index), so compaction reproduces the lockstep
+        estimator sample-for-sample.
+        """
+        spb = min(self.samples_per_batch, self.ns_aa)
+        # geometric batch schedule (spb, spb, 2spb, 4spb, ...): each stage
+        # boundary costs a host<->device sync (expensive through a
+        # remote-TPU tunnel), so sync log-many times instead of ns_aa/spb
+        # times — the CI test still runs at every boundary, it just covers
+        # bigger strides
+        schedule = []
+        done = 0
+        step = spb
+        while done < self.ns_aa:
+            ns = min(step, self.ns_aa - done)
+            schedule.append(ns)
+            done += ns
+            if len(schedule) >= 2:
+                step *= 2
+
+        n = len(xs)
+        film = np.zeros((n, 3), np.float32)
+        s1 = np.zeros(n, np.float64)
+        s2 = np.zeros(n, np.float64)
+        count = np.zeros(n, np.int32)
+        stats = np.zeros(2, np.float64)
+        active = np.arange(n)
+        tile = self.tile_pixels
+
+        s_done = 0
+        for ns in schedule:
+            # dispatch every chunk of the active set before reading any
+            # result back; the trailing chunk is padded to a coarse grid of
+            # shapes (few enough to bound compiles, fine enough not to
+            # waste lanes)
+            grain = 8192 if tile > 16384 else 256
+            launches = []
+            for i in range(0, len(active), tile):
+                idx = active[i : i + tile]
+                m = len(idx)
+                bucket = max(min(-(-m // grain) * grain, tile), m)
+                pa = xs[idx]
+                ya = ys[idx]
+                if bucket > m:
+                    pa = np.pad(pa, (0, bucket - m), mode="edge")
+                    ya = np.pad(ya, (0, bucket - m), mode="edge")
+                out = _batch_jit(
+                    self.bundle,
+                    self.settings,
+                    cam_params,
+                    jnp.asarray(pa),
+                    jnp.asarray(ya),
+                    self.width,
+                    self.height,
+                    key,
+                    jnp.uint32(s_done),
+                    ns,
+                )
+                launches.append((idx, out))
+            s_done += ns
+
+            for idx, (f, a1, a2, st) in launches:
+                m = len(idx)
+                stats += np.asarray(st, np.float64)  # padded lanes do real work
+                film[idx] += np.asarray(f)[:m]
+                s1[idx] += np.asarray(a1, np.float64)[:m]
+                s2[idx] += np.asarray(a2, np.float64)[:m]
+                count[idx] += ns
+
+            # 95% CI early-stop over the whole active set, then re-pack
+            nc = np.maximum(count[active], 2).astype(np.float64)
+            var = np.maximum(s2[active] - s1[active] ** 2 / nc, 0.0) / (nc - 1.0)
+            ci = 1.96 * np.sqrt(var / nc)
+            active = active[ci > self.max_tolerance * s1[active] / nc]
+            if progress:
+                print(
+                    f"\r[PathTracer] Rendering... {100 * s_done // self.ns_aa}%"
+                    f" ({len(active)} px active)",
+                    end="",
+                    flush=True,
+                )
+            if len(active) == 0:
+                break
+
+        rad = film / np.maximum(count, 1)[:, None]
+        return rad, count, stats
 
     def render_to_file(self, filename, cell=None) -> np.ndarray:
         hdr, counts = self.render(cell=cell)

@@ -1,0 +1,62 @@
+"""Multi-host (2-process jax.distributed) simulation test.
+
+Exercises ``parallel.mesh.init_distributed`` for real: two OS processes,
+each with 2 virtual CPU devices, form one 4-device global mesh via a local
+coordinator (the CPU stand-in for ``jax.distributed.initialize`` on a pod —
+SURVEY.md §4 / §5.8).  Process 0's sharded render must be bit-identical to
+a single-process render, and the sharded lens-train step must execute.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+WORKER = Path(__file__).with_name("_multihost_worker.py")
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_render(tmp_path, dae_dir):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    procs = []
+    for pid in range(2):
+        env = os.environ.copy()
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["PYTHONPATH"] = str(REPO)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    str(WORKER),
+                    str(pid),
+                    coordinator,
+                    str(dae_dir / "pyramid.dae"),
+                    str(tmp_path),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert (tmp_path / f"ok_{pid}").exists()

@@ -146,3 +146,50 @@ def test_build_idempotent_with_envmap(dae_dir):
     assert int(r.bundle.lights.light_type.shape[0]) == n_rows
     assert len(r.scene.lights.light_type) == n_scene_rows
     assert r.settings.total_light_samples == n_rows  # ns_area_light=1
+
+
+def test_adaptive_repack_matches_lockstep(dae_dir):
+    """Host-repacked adaptive sampling reproduces the full-sample estimator.
+
+    With a tolerance no noisy pixel can meet, every pixel with sample
+    variance takes all ns_aa samples through the shrinking-wavefront path;
+    RNG is a pure function of (pixel id, sample index), so the result must
+    match a single lockstep render up to f32 summation order.  (Pixels
+    with *zero* variance — black or flat-shaded under a delta light —
+    converge after one batch in both paths, and their mean is unaffected.)
+    """
+    kw = dict(indirect=True, max_ray_depth=3)
+    r = _small_renderer(dae_dir / "pyramid.dae", ns_aa=16, samples_per_batch=4,
+                        max_tolerance=1e-12, tile_pixels=256, **kw)
+    hdr, cnt = r.render(progress=False)
+    assert cnt.max() == 16  # noisy pixels never converge at this tolerance
+    assert cnt.min() >= 4
+
+    r2 = _small_renderer(dae_dir / "pyramid.dae", ns_aa=16, samples_per_batch=16,
+                         max_tolerance=0.0, tile_pixels=256, **kw)
+    hdr2, cnt2 = r2.render(progress=False)
+    assert (cnt2 == 16).all()
+    mask = cnt == 16  # pixels that took every sample must match exactly
+    assert mask.any()
+    np.testing.assert_allclose(hdr[mask], hdr2[mask], rtol=1e-4, atol=1e-6)
+
+
+def test_adaptive_repack_saves_rays(dae_dir):
+    """`-a` stops tracing converged pixels: fewer measured rays, same image stats."""
+    loose = _small_renderer(dae_dir / "pyramid.dae", ns_aa=64, samples_per_batch=8,
+                            max_tolerance=0.5, tile_pixels=256)
+    hdr_a, cnt_a = loose.render(progress=False)
+    rays_a = loose.stats.total_rays
+
+    full = _small_renderer(dae_dir / "pyramid.dae", ns_aa=64, samples_per_batch=64,
+                           max_tolerance=0.0, tile_pixels=256)
+    hdr_f, cnt_f = full.render(progress=False)
+    rays_f = full.stats.total_rays
+
+    assert cnt_a.min() >= 8  # at least one batch everywhere
+    assert (cnt_a < 64).any()  # some pixels stopped early
+    assert rays_a < 0.7 * rays_f  # device work actually saved
+    # unbiased: adaptive mean close to the full-sample mean (tolerance 0.5
+    # is deliberately loose, so allow the matching statistical slack)
+    err = np.abs(hdr_a - hdr_f).mean()
+    assert err < 0.15 * max(hdr_f.mean(), 1e-3), (err, hdr_f.mean())
