@@ -93,25 +93,34 @@ def main():
     px = jnp.asarray(xs[order])
     py = jnp.asarray(ys[order])
 
-    fn = jax.jit(
-        lambda px, py, key: render_wavefront(r.bundle, r.settings, cam, px, py, width, height, key)
-    )
-    rad, cnt, st = fn(px, py, key)  # compile + warmup
-    np.asarray(rad)
-
     # each timed run gets a fresh key: distinct inputs, so the timing can't
-    # hide behind one warmed value, and every run's result is fetched
+    # hide behind one warmed value.  The runs execute back to back inside
+    # ONE jitted lax.map so the metric is device throughput, not per-run
+    # dispatch latency (through the axon tunnel each dispatch+fetch pair
+    # costs ~180 ms and understated Mrays/s by ~25%).  The film sum rides
+    # along in the outputs so the shading work cannot be dead-code
+    # eliminated; fetching the stats forces completion of all runs.
+    # NOTE jax.block_until_ready does NOT synchronize through the tunnel
+    # (docs/PERFORMANCE.md "Timing methodology") — only np.asarray waits.
     runs = 5
-    total_rays = 0.0
-    total_isects = 0.0
+    keys = jax.numpy.stack([jax.random.fold_in(key, i) for i in range(runs)])
+
+    def one_run(k):
+        rad, cnt, st = render_wavefront(
+            r.bundle, r.settings, cam, px, py, width, height, k
+        )
+        return rad.sum(), cnt.sum(), st
+
+    loop = jax.jit(lambda ks: jax.lax.map(one_run, ks))
+    np.asarray(loop(keys)[2])  # compile + warmup
+
     t0 = time.perf_counter()
-    for i in range(runs):
-        rad, cnt, st = fn(px, py, jax.random.fold_in(key, i))
-        st = np.asarray(st)
-        total_rays += float(st[0])
-        total_isects += float(st[1])
-    np.asarray(rad)
+    rad_sums, _, stats = loop(keys)
+    stats = np.asarray(stats)  # (runs, 2); forces completion of every run
     dt = (time.perf_counter() - t0) / runs
+    assert np.isfinite(np.asarray(rad_sums)).all()
+    total_rays = float(stats[:, 0].sum())
+    total_isects = float(stats[:, 1].sum())
 
     # MEASURED ray count: live wavefront lanes summed on device inside the
     # kernels (raytraced_renderer.cpp:707-709 parity, not an RR model)

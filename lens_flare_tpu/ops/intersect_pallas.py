@@ -42,11 +42,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracers
-# 256 lanes per tile measured fastest on v5e for coherent AND incoherent
-# wavefronts: the per-tile active-cluster union shrinks with tile size
-# (tools/profile_breakdown.py sweep), and per-tile fixed costs are small
-# since compaction
-TILE = 256
+# 512 lanes per tile measured fastest on v5e with HONEST tunnel timing
+# (tools/timing.py k-difference; the earlier 256 pick was made with
+# block_until_ready, which measured dispatch): primary wavefronts
+# 93->107 Mrays/s (pyramid), 31->38 (terrain256), 18->19 (terrain512);
+# bounce wavefronts 81->117 (pyramid), 5.0->5.1 (terrain256).  1024 wins
+# only on tiny scenes and loses 25% on streamed terrain512.
+TILE = 512
 # VMEM budget for resident triangle planes; larger scenes stream from HBM
 STREAM_THRESHOLD_BYTES = 10 * 2**20
 
@@ -256,40 +258,75 @@ def _make_kernel(
                     s[0] * e1[1] - s[1] * e1[0],
                 ]
                 det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
-                inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
-                tt = (s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]) * inv_det
-                bb1 = (s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]) * inv_det
-                bb2 = (s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]) * inv_det
+                tt_n = s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]
+                bb1_n = s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]
+                bb2_n = s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]
 
-                best_t = out_t_ref[:]  # (1, TILE)
-                limit = jnp.minimum(t_hi, best_t)
-                valid = (
-                    (det != 0)
-                    & (tt >= t_lo)
-                    & (tt <= limit)
-                    & (bb1 >= 0)
-                    & (bb1 <= 1)
-                    & (bb2 >= 0)
-                    & (bb2 <= 1)
-                    & (bb1 + bb2 <= 1)
-                    & lane_mask
-                )  # (K, TILE)
+                if any_hit:
+                    # Occlusion-only test: multiply the closest-hit
+                    # conditions through by sign(det) so the division (the
+                    # most expensive VPU op in the chunk) and the best-hit
+                    # min/one-hot reductions disappear — a shadow query only
+                    # needs "does ANY slot pass".
+                    sgn = jnp.where(det >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+                    adet = det * sgn
+                    tts = tt_n * sgn
+                    b1s = bb1_n * sgn
+                    b2s = bb2_n * sgn
+                    valid = (
+                        (adet > 0)
+                        & (tts >= t_lo * adet)
+                        & (tts <= t_hi * adet)
+                        & (b1s >= 0)
+                        & (b1s <= adet)
+                        & (b2s >= 0)
+                        & (b2s <= adet)
+                        & (b1s + b2s <= adet)
+                        & lane_mask
+                    )  # (K, TILE)
+                    occluded = jnp.any(valid, axis=0, keepdims=True)
+                    out_prim_ref[:] = jnp.where(
+                        occluded, jnp.int32(0), out_prim_ref[:]
+                    )
+                else:
+                    inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
+                    tt = tt_n * inv_det
+                    bb1 = bb1_n * inv_det
+                    bb2 = bb2_n * inv_det
 
-                t_masked = jnp.where(valid, tt, INF)
-                t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
-                improved = t_best_k < best_t
+                    best_t = out_t_ref[:]  # (1, TILE)
+                    limit = jnp.minimum(t_hi, best_t)
+                    valid = (
+                        (det != 0)
+                        & (tt >= t_lo)
+                        & (tt <= limit)
+                        & (bb1 >= 0)
+                        & (bb1 <= 1)
+                        & (bb2 >= 0)
+                        & (bb2 <= 1)
+                        & (bb1 + bb2 <= 1)
+                        & lane_mask
+                    )  # (K, TILE)
 
-                is_best = valid & (t_masked == t_best_k)
-                prim_k = jnp.where(is_best, ids, jnp.int32(-1))
-                prim_best = jnp.max(prim_k, axis=0, keepdims=True)
-                b1_best = jnp.max(jnp.where(is_best, bb1, -INF), axis=0, keepdims=True)
-                b2_best = jnp.max(jnp.where(is_best, bb2, -INF), axis=0, keepdims=True)
+                    t_masked = jnp.where(valid, tt, INF)
+                    t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
+                    improved = t_best_k < best_t
 
-                out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
-                out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
-                cur_bary = out_bary_ref[:]
-                new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
-                out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
+                    is_best = valid & (t_masked == t_best_k)
+                    prim_k = jnp.where(is_best, ids, jnp.int32(-1))
+                    prim_best = jnp.max(prim_k, axis=0, keepdims=True)
+                    b1_best = jnp.max(
+                        jnp.where(is_best, bb1, -INF), axis=0, keepdims=True
+                    )
+                    b2_best = jnp.max(
+                        jnp.where(is_best, bb2, -INF), axis=0, keepdims=True
+                    )
+
+                    out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
+                    out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
+                    cur_bary = out_bary_ref[:]
+                    new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
+                    out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
                 # K triangle tests for every lane in the chunk's live mask
                 out_tests_ref[:] = out_tests_ref[:] + jnp.where(
                     lane_mask, jnp.int32(k), 0
@@ -305,9 +342,16 @@ def _make_kernel(
             return s_idx + 1
 
         if any_hit:
-            # shadow rays: stop as soon as every lane found an occluder
+            # shadow rays: stop once every lane that can still be occluded
+            # found an occluder (dead lanes — t_hi <= t_lo, e.g. masked NEE
+            # slots and tile padding — count as done, so fully-dead tiles
+            # exit before touching a single cluster)
+            dead = t_hi <= t_lo  # (1, TILE)
+
             def top_cond(s_idx):
-                return (s_idx < n_top) & jnp.logical_not(jnp.all(out_prim_ref[:] >= 0))
+                return (s_idx < n_top) & jnp.logical_not(
+                    jnp.all((out_prim_ref[:] >= 0) | dead)
+                )
 
             s_exit = jax.lax.while_loop(top_cond, lambda s: top_body(s, None), 0)
             if stream:

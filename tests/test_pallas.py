@@ -151,3 +151,37 @@ def test_stream_kernel_matches_oracle():
             assert prim[i] == ref["prim"], f"ray {i}"
             assert abs(t[i] - ref["t"]) < 1e-3 * max(1.0, ref["t"]), f"ray {i}"
     assert n_hits >= 20
+
+
+def test_any_hit_matches_closest_hit_occlusion(dae_dir):
+    """The divide-free any-hit fast path finds exactly the closest-hit
+    occlusion set (same rays, same clips), including dead lanes (t_hi = 0)
+    and mixed triangle+sphere scenes."""
+    scene, info = load_scene(dae_dir / "sky" / "CBspheres_lambertian.dae")
+    wb = build_wide_bvh(scene.tri_p)
+    ps = PallasScene(wb, scene.sph_center, scene.sph_radius, scene.num_triangles)
+    cam = Camera()
+    cam.configure(info.camera, 64, 64)
+    place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+
+    rng = np.random.default_rng(7)
+    n = 384
+    xs, ys = rng.uniform(0, 1, n), rng.uniform(0, 1, n)
+    o = np.zeros((n, 3), np.float32)
+    d = np.zeros((n, 3), np.float32)
+    for i in range(n):
+        o[i], d[i] = oracle.generate_ray(cam, xs[i], ys[i])
+    t_lo = jnp.full(n, cam.n_clip, jnp.float32)
+    # a third of the lanes dead (masked NEE slots), a third clipped short
+    t_hi = jnp.asarray(
+        np.where(np.arange(n) % 3 == 0, 0.0, np.where(np.arange(n) % 3 == 1, 2.0, cam.f_clip)),
+        jnp.float32,
+    )
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    res_c = intersect_pallas(ps, o_j, d_j, t_lo, t_hi, interpret=True)
+    res_a = intersect_pallas(ps, o_j, d_j, t_lo, t_hi, interpret=True, any_hit=True)
+    found_closest = np.asarray(res_c[4])
+    found_any = np.asarray(res_a[4])
+    np.testing.assert_array_equal(found_any, found_closest)
+    assert found_any.sum() > 20  # meaningful occlusion mix
+    assert not found_any[np.arange(n) % 3 == 0].any()  # dead lanes stay dead

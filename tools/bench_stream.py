@@ -62,16 +62,11 @@ def main():
         t_lo = jnp.full(n_rays, cam.n_clip, jnp.float32)
         t_hi = jnp.full(n_rays, cam.f_clip, jnp.float32)
 
+        from tools.timing import timeit  # honest axon-tunnel timing
+
         f = jax.jit(lambda o, d, lo, hi: intersect_pallas(ps, o, d, lo, hi))
         out = f(o, d, t_lo, t_hi)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = f(o, d, t_lo, t_hi)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        dt = timeit(f, o, d, t_lo, t_hi)
         hits = int(np.asarray(out[4]).sum())
         tests = float(np.asarray(out[5]).mean())
         print(

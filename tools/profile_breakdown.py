@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -24,14 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, runs=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / runs
+from tools.timing import timeit  # noqa: E402  (honest axon-tunnel timing)
 
 
 def main():
@@ -100,7 +92,7 @@ def main():
     dt = timeit(occ, o, d)
     print(f"shadow trace_occluded: {dt*1e3:8.2f} ms  {n/dt/1e6:8.2f} Mrays/s")
 
-    hit = trace(o, d)
+    hit, _ = trace(o, d)
     hit_p = o + d * jnp.where(hit.hit, hit.t, 0.0)[:, None]
     pixel_ids = (py * 512 + px).astype(jnp.uint32)
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pixel_ids)
