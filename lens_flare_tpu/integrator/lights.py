@@ -71,142 +71,164 @@ def lights_to_device(table, dtype=jnp.float32) -> LightArrays:
     )
 
 
-def sample_light(lights: LightArrays, li, p, u, env=None):
+def sample_light(lights: LightArrays, li, p, u, env=None, types_present=None):
     """sample_L for light index batch li (N,), points p (N,3), uniforms u (N,2).
 
     Returns a LightSample; env is the optional EnvLightArrays for LT_ENV rows.
+
+    ``types_present``: optional static collection of the LT_* codes that
+    actually occur in the scene's light table.  The light types per NEE slot
+    are host-known, so absent families are specialized away at trace time
+    instead of being computed for every lane and mask-selected (profiled on
+    v5e: the sphere-cone/hemisphere trig and the mesh-light CDF argmax
+    dominated NEE sampling time on scenes with none of those lights).
+    None computes every family (exact old behavior).
     """
+
+    def has(code):
+        return types_present is None or code in types_present
+
     lt = lights.light_type[li]
     rad = lights.radiance[li]
+    xi1, xi2 = u[..., 0], u[..., 1]
+    phi = 2.0 * jnp.pi * xi2
 
     # directional (light.cpp:19-24): wi = dirToLight, dist = inf, pdf = 1
-    wi_dir = lights.direction[li]
-
-    # point (light.cpp:51-58)
-    d_point = lights.position[li] - p
-    dist_point = jnp.linalg.norm(d_point, axis=-1)
-    wi_point = d_point / jnp.maximum(dist_point[..., None], 1e-30)
-
-    # area (light.cpp:76-94)
-    uv = u - 0.5
-    d_area = (
-        lights.position[li]
-        + uv[..., 0:1] * lights.dim_x[li]
-        + uv[..., 1:2] * lights.dim_y[li]
-        - p
-    )
-    cos_theta = jnp.sum(d_area * lights.direction[li], axis=-1)
-    sq_dist = jnp.sum(d_area * d_area, axis=-1)
-    dist_area = jnp.sqrt(sq_dist)
-    wi_area = d_area / jnp.maximum(dist_area[..., None], 1e-30)
-    pdf_area = sq_dist / jnp.maximum(lights.area[li] * jnp.abs(cos_theta), 1e-30)
-    rad_area = jnp.where((cos_theta < 0)[..., None], rad, 0.0)
-
-    # infinite hemisphere (light.cpp:36-43): uniform hemisphere about +y world
-    xi1, xi2 = u[..., 0], u[..., 1]
-    theta = jnp.arccos(jnp.clip(xi1, -1.0, 1.0))
-    phi = 2.0 * jnp.pi * xi2
-    local = jnp.stack(
-        [jnp.sin(theta) * jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta)],
-        axis=-1,
-    )
-    wi_hemi = local @ _HEMI_S2W.T
-
-    # spot (proper implementation of the reference stub, light.cpp:63-71):
-    # point-light geometry, radiance scaled by a smooth cone falloff
-    cos_cone = lights.dim_x[li][..., 0]
-    fall_exp = lights.dim_x[li][..., 1]
-    cos_dir = jnp.sum(-wi_point * lights.direction[li], axis=-1)
-    spot_scale = jnp.clip(
-        (cos_dir - cos_cone) / jnp.maximum(1.0 - cos_cone, 1e-6), 0.0, 1.0
-    ) ** jnp.maximum(fall_exp, 1e-6)
-    rad_spot = rad * spot_scale[..., None]
-
-    # sphere (proper implementation of the reference stub, light.cpp:99-109):
-    # uniform sampling over the subtended solid-angle cone
-    sph_r = lights.dim_x[li][..., 0]
-    to_c = lights.position[li] - p
-    dc = jnp.linalg.norm(to_c, axis=-1)
-    axis = to_c / jnp.maximum(dc[..., None], 1e-30)
-    sin2_max = jnp.clip((sph_r / jnp.maximum(dc, 1e-30)) ** 2, 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
-    cos_t = 1.0 - xi1 * (1.0 - cos_max)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    # ONB around the cone axis
-    h = jnp.where(
-        (jnp.abs(axis[..., 0:1]) > 0.9), jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0])
-    )
-    tx = jnp.cross(axis, jnp.broadcast_to(h, axis.shape))
-    tx = tx / jnp.maximum(jnp.linalg.norm(tx, axis=-1, keepdims=True), 1e-30)
-    ty = jnp.cross(axis, tx)
-    wi_sph = (
-        axis * cos_t[..., None]
-        + (tx * jnp.cos(phi)[..., None] + ty * jnp.sin(phi)[..., None]) * sin_t[..., None]
-    )
-    pdf_sph = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-30)
-    # distance to the sphere surface along wi (near quadratic root)
-    disc = jnp.maximum(sph_r**2 - (dc * sin_t) ** 2, 0.0)
-    dist_sph = jnp.maximum(dc * cos_t - jnp.sqrt(disc), 0.0)
-
-    # mesh (proper implementation of the reference stub, light.cpp:111-118):
-    # area-uniform point via per-tri CDF + rescaled-uniform barycentrics
-    tri_owner = lights.mesh_tri_light  # (M,)
-    tri_cdf = lights.mesh_tri_cdf  # (M,)
-    mine = tri_owner[None, :] == li[..., None]  # (N, M)
-    sel = mine & (tri_cdf[None, :] >= u[..., 0:1])
-    tri_idx = jnp.argmax(sel, axis=-1)  # first matching tri (N,)
-    row = lights.mesh_tri[tri_idx]  # (N, 9)
-    cdf_hi = tri_cdf[tri_idx]
-    prev_mask = mine & (
-        jnp.arange(tri_cdf.shape[0])[None, :] < tri_idx[..., None]
-    )
-    cdf_lo = jnp.max(jnp.where(prev_mask, tri_cdf[None, :], 0.0), axis=-1)
-    u0r = jnp.clip((u[..., 0] - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-30), 0.0, 1.0)
-    su = jnp.sqrt(u0r)
-    b1c = 1.0 - su
-    b2c = u[..., 1] * su
-    mp0, me1, me2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
-    pt = mp0 + b1c[..., None] * me1 + b2c[..., None] * me2
-    mn = jnp.cross(me1, me2)
-    mn = mn / jnp.maximum(jnp.linalg.norm(mn, axis=-1, keepdims=True), 1e-30)
-    d_mesh = pt - p
-    sq_mesh = jnp.sum(d_mesh * d_mesh, axis=-1)
-    dist_mesh = jnp.sqrt(sq_mesh)
-    wi_mesh = d_mesh / jnp.maximum(dist_mesh[..., None], 1e-30)
-    cos_mesh = jnp.sum(d_mesh * mn, axis=-1)
-    pdf_mesh = sq_mesh / jnp.maximum(
-        lights.area[li] * jnp.abs(cos_mesh), 1e-30
-    )
-    # two-sided emitter (the mesh winding is arbitrary); radiance as-is
-    rad_mesh = rad
-
-    wi = wi_dir
-    wi = jnp.where((lt == LT_POINT)[..., None], wi_point, wi)
-    wi = jnp.where((lt == LT_SPOT)[..., None], wi_point, wi)
-    wi = jnp.where((lt == LT_AREA)[..., None], wi_area, wi)
-    wi = jnp.where((lt == LT_HEMISPHERE)[..., None], wi_hemi, wi)
-    wi = jnp.where((lt == LT_SPHERE)[..., None], wi_sph, wi)
-    wi = jnp.where((lt == LT_MESH)[..., None], wi_mesh, wi)
-
+    wi = lights.direction[li]
     dist = jnp.full(p.shape[:-1], INF)
-    dist = jnp.where(lt == LT_POINT, dist_point, dist)
-    dist = jnp.where(lt == LT_SPOT, dist_point, dist)
-    dist = jnp.where(lt == LT_AREA, dist_area, dist)
-    dist = jnp.where(lt == LT_SPHERE, dist_sph, dist)
-    dist = jnp.where(lt == LT_MESH, dist_mesh, dist)
-
     pdf = jnp.ones(p.shape[:-1])
-    pdf = jnp.where(lt == LT_AREA, pdf_area, pdf)
-    pdf = jnp.where(lt == LT_HEMISPHERE, 1.0 / (2.0 * jnp.pi), pdf)
-    pdf = jnp.where(lt == LT_SPHERE, pdf_sph, pdf)
-    pdf = jnp.where(lt == LT_MESH, pdf_mesh, pdf)
-
     out_rad = rad
-    out_rad = jnp.where((lt == LT_AREA)[..., None], rad_area, out_rad)
-    out_rad = jnp.where((lt == LT_SPOT)[..., None], rad_spot, out_rad)
-    out_rad = jnp.where((lt == LT_MESH)[..., None], rad_mesh, out_rad)
 
-    if env is not None:
+    if has(LT_POINT) or has(LT_SPOT):
+        # point (light.cpp:51-58)
+        d_point = lights.position[li] - p
+        dist_point = jnp.linalg.norm(d_point, axis=-1)
+        wi_point = d_point / jnp.maximum(dist_point[..., None], 1e-30)
+        is_pt = (lt == LT_POINT) | (lt == LT_SPOT)
+        wi = jnp.where(is_pt[..., None], wi_point, wi)
+        dist = jnp.where(is_pt, dist_point, dist)
+
+    if has(LT_AREA):
+        # area (light.cpp:76-94)
+        uv = u - 0.5
+        d_area = (
+            lights.position[li]
+            + uv[..., 0:1] * lights.dim_x[li]
+            + uv[..., 1:2] * lights.dim_y[li]
+            - p
+        )
+        cos_theta = jnp.sum(d_area * lights.direction[li], axis=-1)
+        sq_dist = jnp.sum(d_area * d_area, axis=-1)
+        dist_area = jnp.sqrt(sq_dist)
+        wi_area = d_area / jnp.maximum(dist_area[..., None], 1e-30)
+        pdf_area = sq_dist / jnp.maximum(lights.area[li] * jnp.abs(cos_theta), 1e-30)
+        rad_area = jnp.where((cos_theta < 0)[..., None], rad, 0.0)
+        is_area = lt == LT_AREA
+        wi = jnp.where(is_area[..., None], wi_area, wi)
+        dist = jnp.where(is_area, dist_area, dist)
+        pdf = jnp.where(is_area, pdf_area, pdf)
+        out_rad = jnp.where(is_area[..., None], rad_area, out_rad)
+
+    if has(LT_HEMISPHERE):
+        # infinite hemisphere (light.cpp:36-43): uniform about +y world
+        theta = jnp.arccos(jnp.clip(xi1, -1.0, 1.0))
+        local = jnp.stack(
+            [
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.sin(theta) * jnp.sin(phi),
+                jnp.cos(theta),
+            ],
+            axis=-1,
+        )
+        wi_hemi = local @ _HEMI_S2W.T
+        is_hemi = lt == LT_HEMISPHERE
+        wi = jnp.where(is_hemi[..., None], wi_hemi, wi)
+        pdf = jnp.where(is_hemi, 1.0 / (2.0 * jnp.pi), pdf)
+
+    if has(LT_SPOT):
+        # spot (proper implementation of the reference stub, light.cpp:63-71):
+        # point-light geometry, radiance scaled by a smooth cone falloff
+        cos_cone = lights.dim_x[li][..., 0]
+        fall_exp = lights.dim_x[li][..., 1]
+        cos_dir = jnp.sum(-wi_point * lights.direction[li], axis=-1)
+        spot_scale = jnp.clip(
+            (cos_dir - cos_cone) / jnp.maximum(1.0 - cos_cone, 1e-6), 0.0, 1.0
+        ) ** jnp.maximum(fall_exp, 1e-6)
+        out_rad = jnp.where(
+            (lt == LT_SPOT)[..., None], rad * spot_scale[..., None], out_rad
+        )
+
+    if has(LT_SPHERE):
+        # sphere (proper implementation of the reference stub,
+        # light.cpp:99-109): uniform over the subtended solid-angle cone
+        sph_r = lights.dim_x[li][..., 0]
+        to_c = lights.position[li] - p
+        dc = jnp.linalg.norm(to_c, axis=-1)
+        axis = to_c / jnp.maximum(dc[..., None], 1e-30)
+        sin2_max = jnp.clip((sph_r / jnp.maximum(dc, 1e-30)) ** 2, 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+        cos_t = 1.0 - xi1 * (1.0 - cos_max)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        # ONB around the cone axis
+        h = jnp.where(
+            (jnp.abs(axis[..., 0:1]) > 0.9),
+            jnp.array([0.0, 1.0, 0.0]),
+            jnp.array([1.0, 0.0, 0.0]),
+        )
+        tx = jnp.cross(axis, jnp.broadcast_to(h, axis.shape))
+        tx = tx / jnp.maximum(jnp.linalg.norm(tx, axis=-1, keepdims=True), 1e-30)
+        ty = jnp.cross(axis, tx)
+        wi_sph = (
+            axis * cos_t[..., None]
+            + (tx * jnp.cos(phi)[..., None] + ty * jnp.sin(phi)[..., None])
+            * sin_t[..., None]
+        )
+        pdf_sph = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-30)
+        # distance to the sphere surface along wi (near quadratic root)
+        disc = jnp.maximum(sph_r**2 - (dc * sin_t) ** 2, 0.0)
+        dist_sph = jnp.maximum(dc * cos_t - jnp.sqrt(disc), 0.0)
+        is_sph = lt == LT_SPHERE
+        wi = jnp.where(is_sph[..., None], wi_sph, wi)
+        dist = jnp.where(is_sph, dist_sph, dist)
+        pdf = jnp.where(is_sph, pdf_sph, pdf)
+
+    if has(LT_MESH):
+        # mesh (proper implementation of the reference stub, light.cpp:111-118):
+        # area-uniform point via per-tri CDF + rescaled-uniform barycentrics
+        tri_owner = lights.mesh_tri_light  # (M,)
+        tri_cdf = lights.mesh_tri_cdf  # (M,)
+        mine = tri_owner[None, :] == li[..., None]  # (N, M)
+        sel = mine & (tri_cdf[None, :] >= u[..., 0:1])
+        tri_idx = jnp.argmax(sel, axis=-1)  # first matching tri (N,)
+        row = lights.mesh_tri[tri_idx]  # (N, 9)
+        cdf_hi = tri_cdf[tri_idx]
+        prev_mask = mine & (
+            jnp.arange(tri_cdf.shape[0])[None, :] < tri_idx[..., None]
+        )
+        cdf_lo = jnp.max(jnp.where(prev_mask, tri_cdf[None, :], 0.0), axis=-1)
+        u0r = jnp.clip(
+            (u[..., 0] - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-30), 0.0, 1.0
+        )
+        su = jnp.sqrt(u0r)
+        b1c = 1.0 - su
+        b2c = u[..., 1] * su
+        mp0, me1, me2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        pt = mp0 + b1c[..., None] * me1 + b2c[..., None] * me2
+        mn = jnp.cross(me1, me2)
+        mn = mn / jnp.maximum(jnp.linalg.norm(mn, axis=-1, keepdims=True), 1e-30)
+        d_mesh = pt - p
+        sq_mesh = jnp.sum(d_mesh * d_mesh, axis=-1)
+        dist_mesh = jnp.sqrt(sq_mesh)
+        wi_mesh = d_mesh / jnp.maximum(dist_mesh[..., None], 1e-30)
+        cos_mesh = jnp.sum(d_mesh * mn, axis=-1)
+        pdf_mesh = sq_mesh / jnp.maximum(lights.area[li] * jnp.abs(cos_mesh), 1e-30)
+        is_mesh = lt == LT_MESH
+        wi = jnp.where(is_mesh[..., None], wi_mesh, wi)
+        dist = jnp.where(is_mesh, dist_mesh, dist)
+        pdf = jnp.where(is_mesh, pdf_mesh, pdf)
+        # two-sided emitter (the mesh winding is arbitrary); radiance as-is
+
+    if env is not None and has(LT_ENV):
         from . import envlight
 
         es = envlight.sample_env(env, u)

@@ -76,14 +76,27 @@ class RenderSettings(NamedTuple):
     # static light-sampling plan: tuple of light row ids, one per NEE slot
     light_slots: tuple = ()
     total_light_samples: int = 1
+    # static scene-content specialization: LT_* / BSDF_* codes present in
+    # the scene tables.  None = no specialization (evaluate every family);
+    # filled by make_settings from the host tables so jit traces only the
+    # sampler/BSDF families a scene can actually hit.
+    light_types: tuple = None
+    bsdf_families: tuple = None
 
 
-def make_settings(light_table, ns_aa=1, max_ray_depth=1, ns_area_light=1, **kw) -> RenderSettings:
+def make_settings(
+    light_table, ns_aa=1, max_ray_depth=1, ns_area_light=1, bsdf_table=None, **kw
+) -> RenderSettings:
     """Build settings incl. the static NEE slot plan from the host light table."""
     slots = []
     for li in range(len(light_table.light_type)):
         ns = 1 if light_table.is_delta[li] else ns_area_light
         slots.extend([li] * ns)
+    kw.setdefault("light_types", tuple(sorted({int(t) for t in light_table.light_type})))
+    if bsdf_table is not None:
+        kw.setdefault(
+            "bsdf_families", tuple(sorted({int(t) for t in bsdf_table.bsdf_type}))
+        )
     return RenderSettings(
         ns_aa=ns_aa,
         max_ray_depth=max_ray_depth,
@@ -278,7 +291,8 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
 
     pts = jnp.broadcast_to(hit_p, (n_slots, n_pts, 3)).reshape(-1, 3)
     ls = sample_light(
-        bundle.lights, li.reshape(-1), pts, u.reshape(-1, 2), env=bundle.env
+        bundle.lights, li.reshape(-1), pts, u.reshape(-1, 2), env=bundle.env,
+        types_present=settings.light_types,
     )
 
     o2w_b = jnp.broadcast_to(o2w, (n_slots, n_pts, 3, 3)).reshape(-1, 3, 3)
@@ -304,7 +318,7 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
     w_out_b = jnp.broadcast_to(w_out, (n_slots, n_pts, 3)).reshape(-1, 3)
     bsdf_b = jnp.broadcast_to(bsdf_id, (n_slots, n_pts)).reshape(-1)
-    f = eval_f(bundle.bsdfs, bsdf_b, -wi_obj, w_out_b)
+    f = eval_f(bundle.bsdfs, bsdf_b, -wi_obj, w_out_b, families=settings.bsdf_families)
     contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
     use = facing & jnp.logical_not(occ) & (ls.pdf > 0)
     contrib = jnp.where(use[:, None], contrib, 0.0)
@@ -341,7 +355,7 @@ def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id):
     cos_out = wi[:, 2]
     w_out_b = jnp.broadcast_to(w_out, (num_samples, n_pts, 3)).reshape(-1, 3)
     bsdf_b = jnp.broadcast_to(bsdf_id, (num_samples, n_pts)).reshape(-1)
-    f = eval_f(bundle.bsdfs, bsdf_b, -wi, w_out_b)
+    f = eval_f(bundle.bsdfs, bsdf_b, -wi, w_out_b, families=settings.bsdf_families)
     contrib = f * emission * (cos_out / p_w)[:, None]
     contrib = jnp.where(hit.hit[:, None], contrib, 0.0)
     return contrib.reshape(num_samples, n_pts, 3).sum(axis=0) / num_samples, stats
@@ -430,7 +444,10 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
         # sample the BSDF at the current vertex
         o2w = make_coord_space(cur_hit.n)
         w_out = world_to_local(o2w, -cur_d)
-        bs = sample_f(bundle.bsdfs, cur_hit.bsdf, w_out, u_b[:, 1:4])
+        bs = sample_f(
+            bundle.bsdfs, cur_hit.bsdf, w_out, u_b[:, 1:4],
+            families=settings.bsdf_families,
+        )
         cont = cont & bs.valid & (bs.pdf > 0)
 
         wi_world = local_to_world(o2w, bs.wi)

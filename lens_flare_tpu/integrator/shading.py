@@ -100,17 +100,23 @@ def is_delta(bsdfs: BSDFArrays, b):
 # ---------------------------------------------------------------------------
 
 
-def eval_f(bsdfs: BSDFArrays, b, wi_neg, wo):
-    """Batched BSDF::f(-wi, wo). Returns (N, 3)."""
+def eval_f(bsdfs: BSDFArrays, b, wi_neg, wo, families=None):
+    """Batched BSDF::f(-wi, wo). Returns (N, 3).
+
+    ``families``: optional static collection of the BSDF_* type codes present
+    in the scene's material table — absent families are specialized away at
+    trace time instead of evaluated-and-masked per lane (the Beckmann
+    microfacet path costs exp/rational-G/Fresnel per lane and dominated NEE
+    shading on all-diffuse scenes).  None evaluates everything.
+    """
     wi = -wi_neg  # usual convention: away from surface
     t = bsdfs.bsdf_type[b]
 
     f_diffuse = bsdfs.albedo[b] / jnp.pi  # bsdf.cpp:52-61
-
-    f_micro = _microfacet_f(bsdfs, b, wi, wo)
-
     f = jnp.where((t == BSDF_DIFFUSE)[..., None], f_diffuse, 0.0)
-    f = jnp.where((t == BSDF_MICROFACET)[..., None], f_micro, f)
+    if families is None or BSDF_MICROFACET in families:
+        f_micro = _microfacet_f(bsdfs, b, wi, wo)
+        f = jnp.where((t == BSDF_MICROFACET)[..., None], f_micro, f)
     # emission/mirror/refraction/glass: f = 0 (delta or emitter)
     return f
 
@@ -167,15 +173,23 @@ class BSDFSample(NamedTuple):
     valid: jnp.ndarray  # (N,) sample usable (e.g. TIR handled, pdf > 0)
 
 
-def sample_f(bsdfs: BSDFArrays, b, wo, u):
+def sample_f(bsdfs: BSDFArrays, b, wo, u, families=None):
     """Batched BSDF::sample_f. u: (N, 3) uniforms. Returns BSDFSample.
 
-    u[:, 0:2] drive the direction sample; u[:, 2] picks reflect/refract for glass.
+    u[:, 0:2] drive the direction sample; u[:, 2] picks reflect/refract for
+    glass.  ``families``: optional static collection of the BSDF_* codes in
+    the scene — absent families are specialized away at trace time (see
+    eval_f).  None evaluates everything.
     """
+
+    def has(code):
+        return families is None or code in families
+
     t = bsdfs.bsdf_type[b]
     n = wo.shape[0]
 
     # --- diffuse: cosine-weighted hemisphere (sampler.cpp:58-68) ---
+    # (also the fallback sample for emission lanes, so always computed)
     xi1, xi2 = u[:, 0], u[:, 1]
     r = jnp.sqrt(xi1)
     phi = 2.0 * jnp.pi * xi2
@@ -185,84 +199,96 @@ def sample_f(bsdfs: BSDFArrays, b, wo, u):
     f_diff = bsdfs.albedo[b] / jnp.pi
     valid_diff = pdf_diff > 0
 
-    # --- mirror: perfect reflection, f = R / cos so that f*cos/pdf = R ---
-    wi_mirr = jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1)
-    cos_mirr = jnp.maximum(jnp.abs(wi_mirr[:, 2]), 1e-6)
-    f_mirr = bsdfs.reflectance[b] / cos_mirr[:, None]
-    pdf_mirr = jnp.ones(n)
-    valid_mirr = jnp.abs(wo[:, 2]) > 1e-6
+    f, wi, pdf, valid = f_diff, wi_diff, pdf_diff, valid_diff
 
-    # --- refraction: Snell, f = T / cos / eta^2 ---
-    ior = bsdfs.ior[b]
-    entering = wo[:, 2] > 0
-    eta_ratio = jnp.where(entering, 1.0 / ior, ior)  # eta_i / eta_t
-    sin2_t = eta_ratio ** 2 * jnp.maximum(0.0, 1.0 - wo[:, 2] ** 2)
-    tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    wi_refr = jnp.stack(
-        [
-            -eta_ratio * wo[:, 0],
-            -eta_ratio * wo[:, 1],
-            jnp.where(entering, -cos_t, cos_t),
-        ],
-        axis=-1,
-    )
-    cos_refr = jnp.maximum(jnp.abs(wi_refr[:, 2]), 1e-6)
-    f_refr = bsdfs.transmittance[b] / cos_refr[:, None] / (eta_ratio ** 2)[:, None]
-    pdf_refr = jnp.ones(n)
-    valid_refr = jnp.logical_not(tir)
+    def sel(code, vec_f, vec_wi, vec_pdf, vec_valid):
+        m = t == code
+        return (
+            jnp.where(_bc(m, vec_f), vec_f, f),
+            jnp.where(_bc(m, vec_wi), vec_wi, wi),
+            jnp.where(m, vec_pdf, pdf),
+            jnp.where(m, vec_valid, valid),
+        )
 
-    # --- glass: Schlick coin flip between reflection and refraction ---
-    R = fresnel_schlick(wo[:, 2], ior)
-    R_eff = jnp.where(tir, 1.0, R)
-    choose_reflect = u[:, 2] < R_eff
-    f_glass_reflect = R_eff[:, None] * bsdfs.reflectance[b] / cos_mirr[:, None]
-    f_glass_refract = (
-        (1.0 - R_eff)[:, None]
-        * bsdfs.transmittance[b]
-        / cos_refr[:, None]
-        / (eta_ratio ** 2)[:, None]
-    )
-    wi_glass = jnp.where(choose_reflect[:, None], wi_mirr, wi_refr)
-    f_glass = jnp.where(choose_reflect[:, None], f_glass_reflect, f_glass_refract)
-    pdf_glass = jnp.where(choose_reflect, R_eff, 1.0 - R_eff)
-    valid_glass = pdf_glass > 0
+    if has(BSDF_MIRROR) or has(BSDF_GLASS):
+        # --- mirror: perfect reflection, f = R / cos so f*cos/pdf = R ---
+        wi_mirr = jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1)
+        cos_mirr = jnp.maximum(jnp.abs(wi_mirr[:, 2]), 1e-6)
+    if has(BSDF_MIRROR):
+        f_mirr = bsdfs.reflectance[b] / cos_mirr[:, None]
+        valid_mirr = jnp.abs(wo[:, 2]) > 1e-6
+        f, wi, pdf, valid = sel(BSDF_MIRROR, f_mirr, wi_mirr, jnp.ones(n), valid_mirr)
 
-    # --- microfacet: Beckmann half-vector importance sampling ---
-    alpha = jnp.maximum(bsdfs.alpha[b], 1e-4)
-    theta_h = jnp.arctan(jnp.sqrt(jnp.maximum(-(alpha ** 2) * jnp.log(jnp.maximum(1.0 - xi1, 1e-12)), 0.0)))
-    phi_h = 2.0 * jnp.pi * xi2
-    sin_h, cos_h = jnp.sin(theta_h), jnp.cos(theta_h)
-    h = jnp.stack([sin_h * jnp.cos(phi_h), sin_h * jnp.sin(phi_h), cos_h], axis=-1)
-    wo_dot_h = jnp.sum(wo * h, axis=-1)
-    wi_mf = 2.0 * wo_dot_h[:, None] * h - wo
-    # p(theta) = 2 sin / (alpha^2 cos^3) e^{-tan^2/alpha^2}; p(phi) = 1/2pi
-    tan2_h = (sin_h / jnp.maximum(cos_h, 1e-6)) ** 2
-    p_theta = (
-        2.0 * sin_h / (alpha ** 2 * jnp.maximum(cos_h, 1e-6) ** 3)
-    ) * jnp.exp(-tan2_h / alpha ** 2)
-    p_phi = 1.0 / (2.0 * jnp.pi)
-    pdf_h = p_theta * p_phi / jnp.maximum(sin_h, 1e-9)
-    pdf_mf = pdf_h / jnp.maximum(4.0 * wo_dot_h, 1e-9)
-    valid_mf = (wi_mf[:, 2] > 0) & (wo[:, 2] > 0) & (pdf_mf > 1e-9)
-    f_mf = _microfacet_f(bsdfs, b, wi_mf, wo)
+    if has(BSDF_REFRACTION) or has(BSDF_GLASS):
+        # --- refraction: Snell, f = T / cos / eta^2 ---
+        ior = bsdfs.ior[b]
+        entering = wo[:, 2] > 0
+        eta_ratio = jnp.where(entering, 1.0 / ior, ior)  # eta_i / eta_t
+        sin2_t = eta_ratio ** 2 * jnp.maximum(0.0, 1.0 - wo[:, 2] ** 2)
+        tir = sin2_t > 1.0
+        cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+        wi_refr = jnp.stack(
+            [
+                -eta_ratio * wo[:, 0],
+                -eta_ratio * wo[:, 1],
+                jnp.where(entering, -cos_t, cos_t),
+            ],
+            axis=-1,
+        )
+        cos_refr = jnp.maximum(jnp.abs(wi_refr[:, 2]), 1e-6)
+        f_refr = bsdfs.transmittance[b] / cos_refr[:, None] / (eta_ratio ** 2)[:, None]
+    if has(BSDF_REFRACTION):
+        f, wi, pdf, valid = sel(
+            BSDF_REFRACTION, f_refr, wi_refr, jnp.ones(n), jnp.logical_not(tir)
+        )
 
-    # --- emission: cosine sample, f = 0 (bsdf.cpp:95-101) ---
-    f_em = jnp.zeros((n, 3))
+    if has(BSDF_GLASS):
+        # --- glass: Schlick coin flip between reflection and refraction ---
+        R = fresnel_schlick(wo[:, 2], bsdfs.ior[b])
+        R_eff = jnp.where(tir, 1.0, R)
+        choose_reflect = u[:, 2] < R_eff
+        f_glass_reflect = R_eff[:, None] * bsdfs.reflectance[b] / cos_mirr[:, None]
+        f_glass_refract = (
+            (1.0 - R_eff)[:, None]
+            * bsdfs.transmittance[b]
+            / cos_refr[:, None]
+            / (eta_ratio ** 2)[:, None]
+        )
+        wi_glass = jnp.where(choose_reflect[:, None], wi_mirr, wi_refr)
+        f_glass = jnp.where(choose_reflect[:, None], f_glass_reflect, f_glass_refract)
+        pdf_glass = jnp.where(choose_reflect, R_eff, 1.0 - R_eff)
+        f, wi, pdf, valid = sel(BSDF_GLASS, f_glass, wi_glass, pdf_glass, pdf_glass > 0)
 
-    def sel(vec_d, vec_m, vec_r, vec_g, vec_mf, vec_e):
-        out = vec_d
-        out = jnp.where(_bc(t == BSDF_MIRROR, out), vec_m, out)
-        out = jnp.where(_bc(t == BSDF_REFRACTION, out), vec_r, out)
-        out = jnp.where(_bc(t == BSDF_GLASS, out), vec_g, out)
-        out = jnp.where(_bc(t == BSDF_MICROFACET, out), vec_mf, out)
-        out = jnp.where(_bc(t == BSDF_EMISSION, out), vec_e, out)
-        return out
+    if has(BSDF_MICROFACET):
+        # --- microfacet: Beckmann half-vector importance sampling ---
+        alpha = jnp.maximum(bsdfs.alpha[b], 1e-4)
+        theta_h = jnp.arctan(
+            jnp.sqrt(
+                jnp.maximum(-(alpha ** 2) * jnp.log(jnp.maximum(1.0 - xi1, 1e-12)), 0.0)
+            )
+        )
+        phi_h = 2.0 * jnp.pi * xi2
+        sin_h, cos_h = jnp.sin(theta_h), jnp.cos(theta_h)
+        h = jnp.stack([sin_h * jnp.cos(phi_h), sin_h * jnp.sin(phi_h), cos_h], axis=-1)
+        wo_dot_h = jnp.sum(wo * h, axis=-1)
+        wi_mf = 2.0 * wo_dot_h[:, None] * h - wo
+        # p(theta) = 2 sin / (alpha^2 cos^3) e^{-tan^2/alpha^2}; p(phi) = 1/2pi
+        tan2_h = (sin_h / jnp.maximum(cos_h, 1e-6)) ** 2
+        p_theta = (
+            2.0 * sin_h / (alpha ** 2 * jnp.maximum(cos_h, 1e-6) ** 3)
+        ) * jnp.exp(-tan2_h / alpha ** 2)
+        p_phi = 1.0 / (2.0 * jnp.pi)
+        pdf_h = p_theta * p_phi / jnp.maximum(sin_h, 1e-9)
+        pdf_mf = pdf_h / jnp.maximum(4.0 * wo_dot_h, 1e-9)
+        valid_mf = (wi_mf[:, 2] > 0) & (wo[:, 2] > 0) & (pdf_mf > 1e-9)
+        f_mf = _microfacet_f(bsdfs, b, wi_mf, wo)
+        f, wi, pdf, valid = sel(BSDF_MICROFACET, f_mf, wi_mf, pdf_mf, valid_mf)
 
-    f = sel(f_diff, f_mirr, f_refr, f_glass, f_mf, f_em)
-    wi = sel(wi_diff, wi_mirr, wi_refr, wi_glass, wi_mf, wi_diff)
-    pdf = sel(pdf_diff, pdf_mirr, pdf_refr, pdf_glass, pdf_mf, pdf_diff)
-    valid = sel(valid_diff, valid_mirr, valid_refr, valid_glass, valid_mf, valid_diff)
+    if has(BSDF_EMISSION):
+        # --- emission: cosine sample, f = 0 (bsdf.cpp:95-101) ---
+        is_em = t == BSDF_EMISSION
+        f = jnp.where(is_em[..., None], 0.0, f)
+
     return BSDFSample(f=f, wi=wi, pdf=pdf, valid=valid)
 
 

@@ -183,6 +183,7 @@ class Renderer:
         )
         self.settings = make_settings(
             lt,
+            bsdf_table=self.scene.bsdfs,
             ns_aa=self.ns_aa,
             max_ray_depth=self.max_ray_depth,
             ns_area_light=self.ns_area_light,
