@@ -97,7 +97,7 @@ def make_settings(
         kw.setdefault(
             "bsdf_families", tuple(sorted({int(t) for t in bsdf_table.bsdf_type}))
         )
-    return RenderSettings(
+    settings = RenderSettings(
         ns_aa=ns_aa,
         max_ray_depth=max_ray_depth,
         ns_area_light=ns_area_light,
@@ -105,6 +105,20 @@ def make_settings(
         total_light_samples=max(len(slots), 1),
         **kw,
     )
+    # Specialization contract: the static tuples must cover every type code
+    # in the device tables, or jit silently drops whole light/BSDF families
+    # (a caller-passed stale light_types/bsdf_families survives the
+    # setdefault above — catch it here instead of rendering wrong radiance).
+    missing = {int(t) for t in light_table.light_type} - set(settings.light_types)
+    if missing:
+        raise ValueError(f"light_types {settings.light_types} misses scene light codes {sorted(missing)}")
+    if bsdf_table is not None and settings.bsdf_families is not None:
+        missing = {int(t) for t in bsdf_table.bsdf_type} - set(settings.bsdf_families)
+        if missing:
+            raise ValueError(
+                f"bsdf_families {settings.bsdf_families} misses scene BSDF codes {sorted(missing)}"
+            )
+    return settings
 
 
 class SceneBundle(NamedTuple):

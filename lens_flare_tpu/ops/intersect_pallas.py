@@ -577,7 +577,14 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
     t = out_t[0, :n]
     slot = out_prim[0, :n]
     hit = slot >= 0
-    prim = jnp.where(hit, pscene.slot_map[jnp.maximum(slot, 0)], -1)
+    if any_hit:
+        # occlusion-only: the kernel writes slot 0 as a "hit" marker, which
+        # slot_map would map to a real (arbitrary) primitive id — return the
+        # -1 sentinel instead so only `hit` is meaningful (t stays INF,
+        # bary stays 0)
+        prim = jnp.full_like(slot, -1)
+    else:
+        prim = jnp.where(hit, pscene.slot_map[jnp.maximum(slot, 0)], -1)
     b1v = out_bary[0, :n]
     b2v = out_bary[1, :n]
     return t, prim, b1v, b2v, hit, out_tests[0, :n]

