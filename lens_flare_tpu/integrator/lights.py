@@ -12,7 +12,15 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..scene.build import LT_AREA, LT_HEMISPHERE, LT_MESH, LT_POINT, LT_SPHERE, LT_SPOT
+from ..scene.build import (
+    LT_AREA,
+    LT_DIRECTIONAL,
+    LT_HEMISPHERE,
+    LT_MESH,
+    LT_POINT,
+    LT_SPHERE,
+    LT_SPOT,
+)
 
 LT_ENV = 4
 INF = jnp.float32(1e30)
@@ -239,3 +247,140 @@ def sample_light(lights: LightArrays, li, p, u, env=None, types_present=None):
         dist = jnp.where(is_env, INF, dist)
 
     return LightSample(radiance=out_rad, wi=wi, dist=dist, pdf=pdf)
+
+
+def sample_light_static(lights: LightArrays, row: int, code: int, p, u, env=None):
+    """sample_L for ONE host-known light (static row index + LT code).
+
+    NEE slots map to light rows at trace time (``RenderSettings.light_slots``
+    is a static tuple), so the per-lane table gathers of :func:`sample_light`
+    — measured at ~10 ms per 786k-lane NEE wavefront on v5e, the single
+    largest integrator cost — collapse to static row slices broadcast over
+    the lanes, and only the one family's math is traced.
+
+    Semantics are identical to sample_light (same light.cpp formulas);
+    ``tests/test_lights_extra.py`` asserts bit-equality per family.
+    """
+    n = p.shape[0]
+    rad = jnp.broadcast_to(lights.radiance[row], (n, 3))
+    xi1, xi2 = u[..., 0], u[..., 1]
+
+    if code == LT_DIRECTIONAL:
+        # light.cpp:19-24
+        wi = jnp.broadcast_to(lights.direction[row], (n, 3))
+        return LightSample(rad, wi, jnp.full(n, INF), jnp.ones(n))
+
+    if code in (LT_POINT, LT_SPOT):
+        # light.cpp:51-58 (+ cone falloff for the spot stub, light.cpp:63-71)
+        d = lights.position[row] - p
+        dist = jnp.linalg.norm(d, axis=-1)
+        wi = d / jnp.maximum(dist[..., None], 1e-30)
+        if code == LT_SPOT:
+            cos_cone = lights.dim_x[row, 0]
+            fall_exp = lights.dim_x[row, 1]
+            cos_dir = jnp.sum(-wi * lights.direction[row], axis=-1)
+            scale = jnp.clip(
+                (cos_dir - cos_cone) / jnp.maximum(1.0 - cos_cone, 1e-6), 0.0, 1.0
+            ) ** jnp.maximum(fall_exp, 1e-6)
+            rad = rad * scale[..., None]
+        return LightSample(rad, wi, dist, jnp.ones(n))
+
+    if code == LT_AREA:
+        # light.cpp:76-94
+        uv = u - 0.5
+        d = (
+            lights.position[row]
+            + uv[..., 0:1] * lights.dim_x[row]
+            + uv[..., 1:2] * lights.dim_y[row]
+            - p
+        )
+        cos_theta = jnp.sum(d * lights.direction[row], axis=-1)
+        sq_dist = jnp.sum(d * d, axis=-1)
+        dist = jnp.sqrt(sq_dist)
+        wi = d / jnp.maximum(dist[..., None], 1e-30)
+        pdf = sq_dist / jnp.maximum(lights.area[row] * jnp.abs(cos_theta), 1e-30)
+        rad = jnp.where((cos_theta < 0)[..., None], rad, 0.0)
+        return LightSample(rad, wi, dist, pdf)
+
+    if code == LT_HEMISPHERE:
+        # light.cpp:36-43
+        phi = 2.0 * jnp.pi * xi2
+        theta = jnp.arccos(jnp.clip(xi1, -1.0, 1.0))
+        local = jnp.stack(
+            [
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.sin(theta) * jnp.sin(phi),
+                jnp.cos(theta),
+            ],
+            axis=-1,
+        )
+        wi = local @ _HEMI_S2W.T
+        return LightSample(rad, wi, jnp.full(n, INF), jnp.full(n, 1.0 / (2.0 * jnp.pi)))
+
+    if code == LT_SPHERE:
+        # uniform over the subtended cone (light.cpp:99-109 stub, done right)
+        phi = 2.0 * jnp.pi * xi2
+        sph_r = lights.dim_x[row, 0]
+        to_c = lights.position[row] - p
+        dc = jnp.linalg.norm(to_c, axis=-1)
+        axis = to_c / jnp.maximum(dc[..., None], 1e-30)
+        sin2_max = jnp.clip((sph_r / jnp.maximum(dc, 1e-30)) ** 2, 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+        cos_t = 1.0 - xi1 * (1.0 - cos_max)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        h = jnp.where(
+            (jnp.abs(axis[..., 0:1]) > 0.9),
+            jnp.array([0.0, 1.0, 0.0]),
+            jnp.array([1.0, 0.0, 0.0]),
+        )
+        tx = jnp.cross(axis, jnp.broadcast_to(h, axis.shape))
+        tx = tx / jnp.maximum(jnp.linalg.norm(tx, axis=-1, keepdims=True), 1e-30)
+        ty = jnp.cross(axis, tx)
+        wi = (
+            axis * cos_t[..., None]
+            + (tx * jnp.cos(phi)[..., None] + ty * jnp.sin(phi)[..., None])
+            * sin_t[..., None]
+        )
+        pdf = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-30)
+        disc = jnp.maximum(sph_r**2 - (dc * sin_t) ** 2, 0.0)
+        dist = jnp.maximum(dc * cos_t - jnp.sqrt(disc), 0.0)
+        return LightSample(rad, wi, dist, jnp.broadcast_to(pdf, (n,)))
+
+    if code == LT_MESH:
+        # area-uniform point via per-tri CDF (light.cpp:111-118 stub)
+        tri_owner = lights.mesh_tri_light  # (M,)
+        tri_cdf = lights.mesh_tri_cdf  # (M,)
+        mine = (tri_owner == row)[None, :]  # (1, M) — static row
+        sel = mine & (tri_cdf[None, :] >= u[..., 0:1])
+        tri_idx = jnp.argmax(sel, axis=-1)
+        row_tri = lights.mesh_tri[tri_idx]  # (N, 9)
+        cdf_hi = tri_cdf[tri_idx]
+        prev_mask = mine & (
+            jnp.arange(tri_cdf.shape[0])[None, :] < tri_idx[..., None]
+        )
+        cdf_lo = jnp.max(jnp.where(prev_mask, tri_cdf[None, :], 0.0), axis=-1)
+        u0r = jnp.clip(
+            (u[..., 0] - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-30), 0.0, 1.0
+        )
+        su = jnp.sqrt(u0r)
+        b1c = 1.0 - su
+        b2c = u[..., 1] * su
+        mp0, me1, me2 = row_tri[..., 0:3], row_tri[..., 3:6], row_tri[..., 6:9]
+        pt = mp0 + b1c[..., None] * me1 + b2c[..., None] * me2
+        mn = jnp.cross(me1, me2)
+        mn = mn / jnp.maximum(jnp.linalg.norm(mn, axis=-1, keepdims=True), 1e-30)
+        d = pt - p
+        sq = jnp.sum(d * d, axis=-1)
+        dist = jnp.sqrt(sq)
+        wi = d / jnp.maximum(dist[..., None], 1e-30)
+        cos_m = jnp.sum(d * mn, axis=-1)
+        pdf = sq / jnp.maximum(lights.area[row] * jnp.abs(cos_m), 1e-30)
+        return LightSample(rad, wi, dist, pdf)
+
+    if code == LT_ENV:
+        from . import envlight
+
+        es = envlight.sample_env(env, u)
+        return LightSample(es.radiance, es.wi, jnp.full(n, INF), es.pdf)
+
+    raise ValueError(f"unknown light type code {code}")

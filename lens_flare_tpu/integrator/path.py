@@ -75,6 +75,9 @@ class RenderSettings(NamedTuple):
     pixel_jitter: bool = True  # False: rays through pixel centers (tests)
     # static light-sampling plan: tuple of light row ids, one per NEE slot
     light_slots: tuple = ()
+    # per-slot LT_* type codes (host-known): lets NEE sample each slot's
+    # light with static table slices instead of per-lane gathers
+    light_slot_types: tuple = None
     total_light_samples: int = 1
     # static scene-content specialization: LT_* / BSDF_* codes present in
     # the scene tables.  None = no specialization (evaluate every family);
@@ -97,6 +100,9 @@ def make_settings(
         kw.setdefault(
             "bsdf_families", tuple(sorted({int(t) for t in bsdf_table.bsdf_type}))
         )
+    kw.setdefault(
+        "light_slot_types", tuple(int(light_table.light_type[li]) for li in slots)
+    )
     settings = RenderSettings(
         ns_aa=ns_aa,
         max_ray_depth=max_ray_depth,
@@ -298,16 +304,38 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
 
     n_pts = hit_p.shape[0]
     n_slots = len(settings.light_slots)
-    slot_ids = jnp.asarray(settings.light_slots, jnp.int32)  # (S,)
-
-    u = u_tape.reshape(n_pts, n_slots, 2).transpose(1, 0, 2)  # (S, N, 2)
-    li = jnp.broadcast_to(slot_ids[:, None], (n_slots, n_pts))  # (S, N)
 
     pts = jnp.broadcast_to(hit_p, (n_slots, n_pts, 3)).reshape(-1, 3)
-    ls = sample_light(
-        bundle.lights, li.reshape(-1), pts, u.reshape(-1, 2), env=bundle.env,
-        types_present=settings.light_types,
-    )
+    if settings.light_slot_types is not None:
+        # static slot plan: each slot's light row AND type are host-known, so
+        # the light params are static slices broadcast over the lanes — the
+        # per-lane gathers of the generic path cost ~10 ms per 786k-lane NEE
+        # wavefront on v5e, ~half the whole NEE time
+        from .lights import LightSample, sample_light_static
+
+        parts = [
+            sample_light_static(
+                bundle.lights, row, code, hit_p,
+                u_tape[:, 2 * s : 2 * s + 2], env=bundle.env,
+            )
+            for s, (row, code) in enumerate(
+                zip(settings.light_slots, settings.light_slot_types)
+            )
+        ]
+        ls = LightSample(
+            *(
+                jnp.concatenate([getattr(x, f) for x in parts], axis=0)
+                for f in LightSample._fields
+            )
+        )
+    else:
+        slot_ids = jnp.asarray(settings.light_slots, jnp.int32)  # (S,)
+        u = u_tape.reshape(n_pts, n_slots, 2).transpose(1, 0, 2)  # (S, N, 2)
+        li = jnp.broadcast_to(slot_ids[:, None], (n_slots, n_pts))  # (S, N)
+        ls = sample_light(
+            bundle.lights, li.reshape(-1), pts, u.reshape(-1, 2), env=bundle.env,
+            types_present=settings.light_types,
+        )
 
     o2w_b = jnp.broadcast_to(o2w, (n_slots, n_pts, 3, 3)).reshape(-1, 3, 3)
     wi_obj = world_to_local(o2w_b, ls.wi)

@@ -51,6 +51,17 @@ INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracer
 TILE = 512
 # VMEM budget for resident triangle planes; larger scenes stream from HBM
 STREAM_THRESHOLD_BYTES = 10 * 2**20
+# child chunks Möller-Trumbore-tested per traversal iteration (see
+# _make_kernel docstring).  None = auto (tools/sweep_chunk_batch.py on v5e):
+# single-level trees amortize the child loop well (+27% primary on pyramid
+# at CB=2); multi-level scenes activate few children per top, so padding
+# waste eats the saving (terrain-class loses 3-20% at CB>=2), and any-hit
+# wavefronts measured best at CB=1 everywhere.
+CHUNK_BATCH = None
+
+
+def _auto_chunk_batch(b1: int, any_hit: bool) -> int:
+    return 2 if (b1 == 1 and not any_hit) else 1
 
 
 def _safe_inv(d):
@@ -133,13 +144,21 @@ def _make_kernel(
     any_hit: bool = False,
     tile: int = TILE,
     stream: bool = False,
+    chunk_batch: int = 1,
 ):
     """Kernel factory shared by VMEM-resident and HBM-streaming modes.
 
     VMEM mode refs: child (B1*B2, 8) VMEM, tri (9K, >=128·ceil(B1·B2/128))
     VMEM. Stream mode refs: child (B1, B2, 8) HBM, tri (B1, 9K, B2) HBM,
     DMA'd page-by-page into double-buffered scratch.
+
+    ``chunk_batch`` (CB): child chunks Möller-Trumbore-tested per traversal
+    iteration.  The roofline (docs/PERFORMANCE.md) shows the kernel is bound
+    by per-chunk scalar/sequential overhead (~0.5-1.5 us/chunk vs ~120 ns of
+    vector math), so CB chunks are fused into one (CB*K, TILE) test — the
+    scalar loop runs ceil(n_active/CB) times instead of n_active times.
     """
+    cb = max(1, min(chunk_batch, b2))
 
     def kernel(*refs):
         if stream:
@@ -210,38 +229,93 @@ def _make_kernel(
             )
             ch_ids_ref[:] = ch_ids
             ch_n_ref[:] = ch_n
+            n_child = ch_n_ref[0, 0].astype(jnp.int32)
 
-            def child_body(cs_idx, _):
-                c_idx = ch_ids_ref[cs_idx, 0].astype(jnp.int32)
-                node = t_idx * b2 + c_idx
-                if stream:
-                    # the page's B2 columns are exactly this top's children
-                    lane = c_idx
-                    tri_block = planes_buf[slot]  # (9K, B2)
-                    n_lanes_blk = b2
+            if stream:
+                # waiting here (not before the child slab tests) overlaps the
+                # page DMA with the box matrix + compaction work above
+                page_dma(slot, s_idx).wait()
+                # the page's B2 columns are exactly this top's children
+                tri_block = planes_buf[slot]  # (9K, B2)
+                n_lanes_blk = b2
+                lane_off = 0
+            else:
+                # all B2 children of one top cluster live inside ONE
+                # 128-aligned lane block (choose_shape keeps b2 | 128), so
+                # the plane block loads once per top cluster, not per chunk
+                node0 = t_idx * b2
+                base = pl.multiple_of((node0 // 128) * 128, 128)
+                lane_off = node0 - base
+                tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
+                n_lanes_blk = 128
+
+            # constant chunk->row-block expander: E[c*K+s, c] = 1.  One
+            # (CB*K, CB) x (CB, TILE) matmul turns per-chunk lane masks
+            # into the fused (CB*K, TILE) mask (Mosaic rejects sublane
+            # concats of rows with differing layout offsets, so masks are
+            # expanded by matmul instead of sliced+stacked).
+            if cb > 1:
+                expand = (
+                    jax.lax.broadcasted_iota(jnp.int32, (cb * k, cb), 0) // k
+                    == jax.lax.broadcasted_iota(jnp.int32, (cb * k, cb), 1)
+                ).astype(jnp.float32)
+
+            def child_body(it, _):
+                # fuse CB active chunks into one (CB*K, TILE) Möller-Trumbore
+                # test; per-chunk scalar work is one compacted-id read + one
+                # one-hot column select (each extracted column has sublane
+                # offset 0, so the per-component concat is layout-uniform)
+                rows_c = jax.lax.broadcasted_iota(jnp.int32, (b2, cb), 0)
+                cols_c = jax.lax.broadcasted_iota(jnp.int32, (b2, cb), 1)
+                sel_ch = jnp.zeros((b2, cb), jnp.float32)
+                ids_parts = []
+                col_parts = []
+                lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes_blk), 1)
+                for c in range(cb):
+                    cs = it * cb + c
+                    in_rng = cs < n_child
+                    c_idx = ch_ids_ref[jnp.minimum(cs, b2 - 1), 0].astype(jnp.int32)
+                    node_c = t_idx * b2 + c_idx
+                    onehot = ((lane_iota == lane_off + c_idx) & in_rng).astype(
+                        jnp.float32
+                    )
+                    col_parts.append(
+                        jnp.sum(tri_block * onehot, axis=1, keepdims=True)  # (9K, 1)
+                    )
+                    sel_ch += ((rows_c == c_idx) & (cols_c == c) & in_rng).astype(
+                        jnp.float32
+                    )
+                    # slot ids node*K + s; mapped to primitive ids by a
+                    # small gather OUTSIDE the kernel (keeps the id table
+                    # out of VMEM — it was the budget breaker at 256k tris)
+                    ids_parts.append(
+                        node_c * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                    )
+                ids = (
+                    jnp.concatenate(ids_parts, axis=0) if cb > 1 else ids_parts[0]
+                )  # (CB*K, 1)
+                # masks[c, :] = live-lane row of chunk c
+                masks = jax.lax.dot_general(
+                    sel_ch, ch_ref[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (CB, TILE)
+                if cb > 1:
+                    lane_mask = (
+                        jnp.dot(expand, masks, preferred_element_type=jnp.float32) > 0
+                    )  # (CB*K, TILE)
                 else:
-                    # lane slices must be 128-aligned: load the aligned
-                    # 128-node block and one-hot-select our column
-                    base = pl.multiple_of((node // 128) * 128, 128)
-                    lane = node - base
-                    tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
-                    n_lanes_blk = 128
-                onehot = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes_blk), 1) == lane
-                )
-                col = jnp.sum(
-                    tri_block * onehot.astype(jnp.float32), axis=1, keepdims=True
-                )  # (9K, 1)
-                # slot ids node*K + k; mapped to primitive ids by a
-                # small gather OUTSIDE the kernel (keeps the id table
-                # out of VMEM — it was the budget breaker at 256k tris)
-                ids = node * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-                lane_mask = ch_ref[pl.ds(c_idx, 1), :] != 0  # (1, TILE)
+                    lane_mask = masks > 0
 
-                comp = [col[pl_j * k : (pl_j + 1) * k] for pl_j in range(9)]
-                p0 = comp[0:3]  # (K, 1) each
-                e1 = comp[3:6]
-                e2 = comp[6:9]
+                def comp_j(j):
+                    if cb == 1:
+                        return col_parts[0][j * k : (j + 1) * k]
+                    return jnp.concatenate(
+                        [col_parts[c][j * k : (j + 1) * k] for c in range(cb)], axis=0
+                    )  # (CB*K, 1), every part sublane-offset j*k
+
+                p0 = [comp_j(j) for j in range(3)]
+                e1 = [comp_j(j) for j in range(3, 6)]
+                e2 = [comp_j(j) for j in range(6, 9)]
 
                 # s = o - p0   (K, TILE)
                 s = [o[i] - p0[i] for i in range(3)]
@@ -327,18 +401,13 @@ def _make_kernel(
                     cur_bary = out_bary_ref[:]
                     new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
                     out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
-                # K triangle tests for every lane in the chunk's live mask
-                out_tests_ref[:] = out_tests_ref[:] + jnp.where(
-                    lane_mask, jnp.int32(k), 0
+                # K triangle tests for every lane in each chunk's live mask
+                out_tests_ref[:] = out_tests_ref[:] + jnp.int32(k) * jnp.sum(
+                    (masks > 0).astype(jnp.int32), axis=0, keepdims=True
                 )
                 return 0
 
-            n_child = ch_n_ref[0, 0].astype(jnp.int32)
-            if stream:
-                # waiting here (not before the child slab tests) overlaps the
-                # page DMA with the box matrix + compaction work above
-                page_dma(slot, s_idx).wait()
-            jax.lax.fori_loop(0, n_child, child_body, 0)
+            jax.lax.fori_loop(0, (n_child + cb - 1) // cb, child_body, 0)
             return s_idx + 1
 
         if any_hit:
@@ -484,17 +553,25 @@ jax.tree_util.register_pytree_node(PallasScene, _pscene_flatten, _pscene_unflatt
 @partial(
     jax.jit,
     static_argnames=(
-        "b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile", "stream"
+        "b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile",
+        "stream", "chunk_batch",
     ),
 )
 def _launch(
     rays, top, child, tri, sph,
     b1, b2, k, n_spheres, num_tris,
-    interpret=False, any_hit=False, tile=TILE, stream=False,
+    interpret=False, any_hit=False, tile=TILE, stream=False, chunk_batch=None,
 ):
+    if chunk_batch is None:
+        chunk_batch = CHUNK_BATCH
+    if chunk_batch is None:
+        chunk_batch = _auto_chunk_batch(b1, any_hit)
     n_tiles = rays.shape[1] // tile
+    if not stream:
+        assert 128 % b2 == 0, "VMEM mode assumes b2 | 128 (one block per top cluster)"
     kernel = _make_kernel(
-        b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile, stream=stream
+        b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile, stream=stream,
+        chunk_batch=chunk_batch,
     )
     child_spec = pl.BlockSpec(child.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     if stream:
@@ -545,7 +622,7 @@ def _launch(
     return out_t, out_prim, out_bary, out_tests
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=TILE):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=TILE, chunk_batch=None):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit, tests).
 
     N is padded internally to a TILE multiple.  ``tests`` is the per-ray
@@ -573,6 +650,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         any_hit=any_hit,
         tile=tile,
         stream=pscene.stream,
+        chunk_batch=chunk_batch,
     )
     t = out_t[0, :n]
     slot = out_prim[0, :n]

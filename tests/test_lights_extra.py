@@ -111,3 +111,65 @@ def test_mesh_light_matches_area_light():
     assert np.abs(pts[:, 2] - 3.0).max() < 1e-3
     assert pts[:, 0].min() > -1.001 and pts[:, 0].max() < 1.001
     assert pts[:, 1].min() > -1.001 and pts[:, 1].max() < 1.001
+
+
+def test_sample_light_static_matches_dynamic_all_families():
+    """sample_light_static (the NEE fast path with host-static row/type) is
+    bit-identical to the generic gather-based sample_light for every family."""
+    from lens_flare_tpu.integrator.lights import sample_light_static
+    from lens_flare_tpu.scene.build import (
+        LT_DIRECTIONAL,
+        LT_HEMISPHERE,
+        LT_POINT,
+        LT_SPOT,
+        _append_light_row,
+    )
+
+    t = _empty_table()
+    rows = []
+    rows.append((_append_light_row(
+        t, light_type=LT_DIRECTIONAL, radiance=np.array([1.0, 2.0, 3.0]),
+        position=np.zeros(3), direction=np.array([0.3, 0.8, -0.5]) / np.linalg.norm([0.3, 0.8, -0.5]),
+        dim_x=np.zeros(3), dim_y=np.zeros(3), area=0.0, is_delta=True,
+    ), LT_DIRECTIONAL))
+    rows.append((_append_light_row(
+        t, light_type=LT_POINT, radiance=np.array([4.0, 0.5, 1.0]),
+        position=np.array([1.0, 2.0, -1.0]), direction=np.zeros(3),
+        dim_x=np.zeros(3), dim_y=np.zeros(3), area=0.0, is_delta=True,
+    ), LT_POINT))
+    rows.append((_append_light_row(
+        t, light_type=LT_AREA, radiance=np.array([2.0, 2.0, 2.0]),
+        position=np.array([0.0, 3.0, 0.0]), direction=np.array([0.0, -1.0, 0.0]),
+        dim_x=np.array([1.5, 0.0, 0.0]), dim_y=np.array([0.0, 0.0, 1.2]),
+        area=1.8, is_delta=False,
+    ), LT_AREA))
+    rows.append((_append_light_row(
+        t, light_type=LT_HEMISPHERE, radiance=np.array([0.7, 0.7, 0.9]),
+        position=np.zeros(3), direction=np.zeros(3),
+        dim_x=np.zeros(3), dim_y=np.zeros(3), area=0.0, is_delta=False,
+    ), LT_HEMISPHERE))
+    rows.append((_append_light_row(
+        t, light_type=LT_SPOT, radiance=np.array([5.0, 4.0, 3.0]),
+        position=np.array([0.0, 4.0, 0.0]), direction=np.array([0.0, -1.0, 0.0]),
+        dim_x=np.array([0.8, 2.0, 0.0]), dim_y=np.zeros(3), area=0.0, is_delta=True,
+    ), LT_SPOT))
+    rows.append((add_sphere_light(t, np.array([0.0, 0.0, 6.0]), 1.0,
+                                  np.array([1.0, 1.0, 1.0])), 6))  # LT_SPHERE
+    rows.append((add_mesh_light(t, np.array(
+        [[[-1, -1, 3], [1, -1, 3], [1, 1, 3]], [[-1, -1, 3], [1, 1, 3], [-1, 1, 3]]],
+        np.float32), np.array([1.0, 2.0, 3.0])), 7))  # LT_MESH
+
+    lights = lights_to_device(t)
+    n = 257
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    u = jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32)
+
+    for row, code in rows:
+        dyn = sample_light(lights, jnp.full(n, row, jnp.int32), p, u)
+        st = sample_light_static(lights, row, code, p, u)
+        for f in dyn._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(dyn, f)), np.asarray(getattr(st, f)),
+                err_msg=f"family {code} field {f}",
+            )

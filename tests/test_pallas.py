@@ -185,3 +185,41 @@ def test_any_hit_matches_closest_hit_occlusion(dae_dir):
     np.testing.assert_array_equal(found_any, found_closest)
     assert found_any.sum() > 20  # meaningful occlusion mix
     assert not found_any[np.arange(n) % 3 == 0].any()  # dead lanes stay dead
+
+
+def test_chunk_batch_invariance(dae_dir):
+    """Results are identical for any chunk_batch (incl. tail iterations
+    where the batch is only partially filled), in both residency modes."""
+    import pytest
+
+    scene, info = load_scene(dae_dir / "sky" / "CBbunny.dae")
+    n_rays = 512
+    cam = Camera()
+    cam.configure(info.camera, 64, 64)
+    place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+    rng = np.random.default_rng(11)
+    xs, ys = rng.uniform(0, 1, n_rays), rng.uniform(0, 1, n_rays)
+    o = np.zeros((n_rays, 3), np.float32)
+    d = np.zeros((n_rays, 3), np.float32)
+    for i in range(n_rays):
+        o[i], d[i] = oracle.generate_ray(cam, xs[i], ys[i])
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_lo = jnp.full(n_rays, cam.n_clip, jnp.float32)
+    t_hi = jnp.full(n_rays, cam.f_clip, jnp.float32)
+
+    wb = build_wide_bvh(scene.tri_p)  # CBbunny ~28k tris -> (32, 64, 32)
+    for force_stream in (False, True):
+        ps = PallasScene(
+            wb, scene.sph_center, scene.sph_radius, scene.num_triangles,
+            force_stream=force_stream,
+        )
+        ref = intersect_pallas(ps, o, d, t_lo, t_hi, interpret=True, chunk_batch=1)
+        assert int(np.asarray(ref[4]).sum()) > 100
+        for cb in (2, 3, 4, 8):
+            res = intersect_pallas(ps, o, d, t_lo, t_hi, interpret=True, chunk_batch=cb)
+            for a, b in zip(ref, res):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            occ = intersect_pallas(
+                ps, o, d, t_lo, t_hi, interpret=True, any_hit=True, chunk_batch=cb
+            )
+            np.testing.assert_array_equal(np.asarray(occ[4]), np.asarray(ref[4]))
