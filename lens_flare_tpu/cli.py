@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=0, help="shard the render over N devices (0 = all)")
+    p.add_argument(
+        "--view",
+        action="store_true",
+        help="open the interactive terminal viewer instead of rendering to -f "
+        "(the reference's GLFW window, re-imagined for a tty; keys: r/v/e/s, "
+        "[ ] - = < > k l ; ' C d, space, arrows; mouse orbit/pan/autofocus)",
+    )
     return p
 
 
@@ -90,6 +97,14 @@ def main(argv=None) -> int:
     )
     print(f"[PathTracer] Loading scene {args.scene}")
     r.load(args.scene)
+    if args.view:
+        import runpy
+        from pathlib import Path
+
+        viewer = Path(__file__).resolve().parent.parent / "tools" / "viewer.py"
+        sys.argv = [str(viewer), args.scene, "-s", str(args.ns_aa), "-m", str(args.max_ray_depth), "-r", str(args.r[0]), str(args.r[1])]
+        runpy.run_path(str(viewer), run_name="__main__")
+        return 0
     cell = tuple(args.p) if args.p else None
     r.render_to_file(args.output, cell=cell)
     return 0

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.lookup import row_lookup, rows_lookup
 from ..scene.collada import (
     BSDF_DIFFUSE,
     BSDF_EMISSION,
@@ -87,7 +88,7 @@ def local_to_world(o2w, v):
 def get_emission(bsdfs: BSDFArrays, b):
     """BSDF::get_emission — radiance for emission BSDFs, 0 otherwise."""
     is_em = (bsdfs.bsdf_type[b] == BSDF_EMISSION)[..., None]
-    return jnp.where(is_em, bsdfs.radiance[b], 0.0)
+    return jnp.where(is_em, row_lookup(bsdfs.radiance, b), 0.0)
 
 
 def is_delta(bsdfs: BSDFArrays, b):
@@ -112,26 +113,31 @@ def eval_f(bsdfs: BSDFArrays, b, wi_neg, wo, families=None):
     wi = -wi_neg  # usual convention: away from surface
     t = bsdfs.bsdf_type[b]
 
-    f_diffuse = bsdfs.albedo[b] / jnp.pi  # bsdf.cpp:52-61
+    f_diffuse = row_lookup(bsdfs.albedo, b) / jnp.pi  # bsdf.cpp:52-61
     f = jnp.where((t == BSDF_DIFFUSE)[..., None], f_diffuse, 0.0)
     if families is None or BSDF_MICROFACET in families:
-        f_micro = _microfacet_f(bsdfs, b, wi, wo)
+        eta, k = rows_lookup(b, bsdfs.eta, bsdfs.k)
+        f_micro = _microfacet_f(bsdfs.alpha[b], eta, k, wi, wo)
         f = jnp.where((t == BSDF_MICROFACET)[..., None], f_micro, f)
     # emission/mirror/refraction/glass: f = 0 (delta or emitter)
     return f
 
 
-def _microfacet_f(bsdfs: BSDFArrays, b, wi, wo):
-    """Beckmann NDF x Smith shadowing x conductor Fresnel (advanced_bsdf.cpp TODOs)."""
+def _microfacet_f(alpha_rows, eta, k, wi, wo):
+    """Beckmann NDF x Smith shadowing x conductor Fresnel (advanced_bsdf.cpp TODOs).
+
+    alpha_rows: (N,) pre-gathered; eta/k: (N, 3) pre-looked-up rows (the
+    per-lane row gathers were the cost center — see ops.lookup).
+    """
     valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
     h = wi + wo
     h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-30)
-    alpha = jnp.maximum(bsdfs.alpha[b], 1e-4)
+    alpha = jnp.maximum(alpha_rows, 1e-4)
     cos_h = jnp.clip(h[..., 2], 1e-6, 1.0)
     tan2 = (1.0 - cos_h * cos_h) / (cos_h * cos_h)
     D = jnp.exp(-tan2 / (alpha * alpha)) / (jnp.pi * alpha * alpha * cos_h ** 4)
     G = _smith_g1(wi, alpha) * _smith_g1(wo, alpha)
-    F = fresnel_conductor(jnp.abs(wi[..., 2]), bsdfs.eta[b], bsdfs.k[b])
+    F = fresnel_conductor(jnp.abs(wi[..., 2]), eta, k)
     denom = 4.0 * jnp.maximum(wo[..., 2] * wi[..., 2], 1e-6)
     f = F * (G * D / denom)[..., None]
     return jnp.where(valid[..., None], f, 0.0)
@@ -188,6 +194,21 @@ def sample_f(bsdfs: BSDFArrays, b, wo, u, families=None):
     t = bsdfs.bsdf_type[b]
     n = wo.shape[0]
 
+    # per-lane material rows via ONE one-hot matmul (ops.lookup): the
+    # per-family row gathers were the bounce-shading cost center on TPU
+    need = [bsdfs.albedo]
+    if has(BSDF_MIRROR) or has(BSDF_GLASS):
+        need.append(bsdfs.reflectance)
+    if has(BSDF_REFRACTION) or has(BSDF_GLASS):
+        need.append(bsdfs.transmittance)
+    if has(BSDF_MICROFACET):
+        need.extend([bsdfs.eta, bsdfs.k])
+    rows = list(rows_lookup(b, *need))
+    albedo = rows.pop(0)
+    reflectance = rows.pop(0) if (has(BSDF_MIRROR) or has(BSDF_GLASS)) else None
+    transmittance = rows.pop(0) if (has(BSDF_REFRACTION) or has(BSDF_GLASS)) else None
+    eta_rows, k_rows = (rows.pop(0), rows.pop(0)) if has(BSDF_MICROFACET) else (None, None)
+
     # --- diffuse: cosine-weighted hemisphere (sampler.cpp:58-68) ---
     # (also the fallback sample for emission lanes, so always computed)
     xi1, xi2 = u[:, 0], u[:, 1]
@@ -196,7 +217,7 @@ def sample_f(bsdfs: BSDFArrays, b, wo, u, families=None):
     z_cos = jnp.sqrt(jnp.maximum(1.0 - xi1, 0.0))
     wi_diff = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z_cos], axis=-1)
     pdf_diff = z_cos / jnp.pi
-    f_diff = bsdfs.albedo[b] / jnp.pi
+    f_diff = albedo / jnp.pi
     valid_diff = pdf_diff > 0
 
     f, wi, pdf, valid = f_diff, wi_diff, pdf_diff, valid_diff
@@ -215,7 +236,7 @@ def sample_f(bsdfs: BSDFArrays, b, wo, u, families=None):
         wi_mirr = jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1)
         cos_mirr = jnp.maximum(jnp.abs(wi_mirr[:, 2]), 1e-6)
     if has(BSDF_MIRROR):
-        f_mirr = bsdfs.reflectance[b] / cos_mirr[:, None]
+        f_mirr = reflectance / cos_mirr[:, None]
         valid_mirr = jnp.abs(wo[:, 2]) > 1e-6
         f, wi, pdf, valid = sel(BSDF_MIRROR, f_mirr, wi_mirr, jnp.ones(n), valid_mirr)
 
@@ -236,7 +257,7 @@ def sample_f(bsdfs: BSDFArrays, b, wo, u, families=None):
             axis=-1,
         )
         cos_refr = jnp.maximum(jnp.abs(wi_refr[:, 2]), 1e-6)
-        f_refr = bsdfs.transmittance[b] / cos_refr[:, None] / (eta_ratio ** 2)[:, None]
+        f_refr = transmittance / cos_refr[:, None] / (eta_ratio ** 2)[:, None]
     if has(BSDF_REFRACTION):
         f, wi, pdf, valid = sel(
             BSDF_REFRACTION, f_refr, wi_refr, jnp.ones(n), jnp.logical_not(tir)
@@ -247,10 +268,10 @@ def sample_f(bsdfs: BSDFArrays, b, wo, u, families=None):
         R = fresnel_schlick(wo[:, 2], bsdfs.ior[b])
         R_eff = jnp.where(tir, 1.0, R)
         choose_reflect = u[:, 2] < R_eff
-        f_glass_reflect = R_eff[:, None] * bsdfs.reflectance[b] / cos_mirr[:, None]
+        f_glass_reflect = R_eff[:, None] * reflectance / cos_mirr[:, None]
         f_glass_refract = (
             (1.0 - R_eff)[:, None]
-            * bsdfs.transmittance[b]
+            * transmittance
             / cos_refr[:, None]
             / (eta_ratio ** 2)[:, None]
         )
@@ -281,7 +302,7 @@ def sample_f(bsdfs: BSDFArrays, b, wo, u, families=None):
         pdf_h = p_theta * p_phi / jnp.maximum(sin_h, 1e-9)
         pdf_mf = pdf_h / jnp.maximum(4.0 * wo_dot_h, 1e-9)
         valid_mf = (wi_mf[:, 2] > 0) & (wo[:, 2] > 0) & (pdf_mf > 1e-9)
-        f_mf = _microfacet_f(bsdfs, b, wi_mf, wo)
+        f_mf = _microfacet_f(bsdfs.alpha[b], eta_rows, k_rows, wi_mf, wo)
         f, wi, pdf, valid = sel(BSDF_MICROFACET, f_mf, wi_mf, pdf_mf, valid_mf)
 
     if has(BSDF_EMISSION):

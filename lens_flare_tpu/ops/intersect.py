@@ -288,7 +288,11 @@ def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
 
     # triangle: barycentric-interpolated unit normal (triangle.cpp:104-108)
     if num_tris > 0:
-        rows = scene.tri_shade[tri_idx]  # (N, 10): one gather for normals+bsdf
+        from .lookup import row_lookup
+
+        # one lookup for normals+bsdf; one-hot matmul for small scenes (the
+        # row gather cost ~0.6 ms per 262k-lane wavefront even at 138 tris)
+        rows = row_lookup(scene.tri_shade, tri_idx)  # (N, 10)
         n_corners = rows[:, :9].reshape(-1, 3, 3)
         b0 = 1.0 - b1 - b2
         n_tri = (

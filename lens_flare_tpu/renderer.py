@@ -181,8 +181,19 @@ class Renderer:
             pscene=pscene,
             bokeh=bokeh,
         )
+        self._light_table = lt  # kept for update_settings()
+        self.update_settings()
+
+    def update_settings(self) -> None:
+        """Rebuild the static RenderSettings from the current knobs.
+
+        Cheap (host-only); used by the interactive Application when keys
+        change spp/depth/light-sample counts between progressive renders
+        (RaytracedRenderer::key_press semantics) without re-building the
+        scene or BVH.
+        """
         self.settings = make_settings(
-            lt,
+            self._light_table,
             bsdf_table=self.scene.bsdfs,
             ns_aa=self.ns_aa,
             max_ray_depth=self.max_ray_depth,

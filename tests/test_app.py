@@ -1,0 +1,193 @@
+"""Interactive Application state machine + event surface (SURVEY 2.26).
+
+Drives ``lens_flare_tpu.app.Application`` headless with scripted key /
+mouse events and asserts the reference's ``Application::keyboard_event`` /
+``mouse_*`` semantics (application.cpp:428-631) and
+``RaytracedRenderer::key_press`` knob changes (raytraced_renderer.cpp:
+537-616), plus progressive-render equivalence with the offline Renderer.
+"""
+
+import numpy as np
+import pytest
+
+from lens_flare_tpu.app import KEY_LEFT, KEY_RIGHT, KEY_UP, LEFT, RIGHT, Application, Mode
+from lens_flare_tpu.renderer import Renderer
+
+
+@pytest.fixture(scope="module")
+def app_factory(dae_dir):
+    def make(**kw):
+        kw.setdefault("width", 48)
+        kw.setdefault("height", 36)
+        kw.setdefault("ns_aa", 2)
+        kw.setdefault("max_ray_depth", 1)
+        kw.setdefault("indirect", False)
+        r = Renderer(**kw)
+        r.load(dae_dir / "pyramid.dae")
+        return Application(r, preview_width=48, progressive_batch=1)
+
+    return make
+
+
+def test_mode_transitions(app_factory):
+    app = app_factory()
+    assert app.mode == Mode.EDIT
+    app.keyboard_event("r")
+    assert app.mode == Mode.RENDER
+    app.keyboard_event("v")
+    assert app.mode == Mode.VISUALIZE
+    app.keyboard_event("e")
+    assert app.mode == Mode.EDIT
+    app.keyboard_event("v")
+    assert app.mode == Mode.VISUALIZE
+    app.keyboard_event("r")
+    assert app.mode == Mode.RENDER
+    app.keyboard_event("e")
+    assert app.mode == Mode.EDIT
+
+
+def test_key_press_knobs(app_factory, tmp_path):
+    app = app_factory()
+    r = app.renderer
+    app.keyboard_event("r")  # RENDER mode
+    app.keyboard_event("]")
+    assert r.ns_aa == 4
+    app.keyboard_event("[")
+    app.keyboard_event("[")
+    app.keyboard_event("[")  # clamps at 1
+    assert r.ns_aa == 1
+    app.keyboard_event("=")
+    assert r.ns_area_light == 2
+    app.keyboard_event("-")
+    assert r.ns_area_light == 1
+    app.keyboard_event(">")
+    assert r.max_ray_depth == 2
+    app.keyboard_event("<")
+    assert r.max_ray_depth == 1
+    app.keyboard_event("h")
+    assert r.direct_hemisphere_sample
+    app.keyboard_event("h")
+    app.keyboard_event("l")
+    assert r.camera.lens_radius == pytest.approx(0.05)
+    app.keyboard_event("k")
+    assert r.camera.lens_radius == 0.0
+    app.keyboard_event("'")
+    assert r.camera.focal_distance == pytest.approx(0.1)
+    app.keyboard_event(";")
+    assert r.camera.focal_distance == 0.0
+    # settings were rebuilt to match the knobs (update_settings path)
+    assert r.settings.max_ray_depth == 1
+
+    app.filename = str(tmp_path / "t")
+    app.keyboard_event("d")
+    assert (tmp_path / "t_cam_settings.txt").exists()
+
+
+def test_progressive_matches_offline(app_factory):
+    app = app_factory()
+    app.keyboard_event("r")
+    while not app.render_done:
+        app.frame()
+    hdr_app = app._film / np.maximum(app._counts, 1)[..., None]
+
+    offline, counts = app.renderer.render(progress=False)
+    assert counts.min() == app.renderer.ns_aa
+    # identical RNG per (pixel id, sample index) => same estimator
+    np.testing.assert_allclose(hdr_app, offline, rtol=1e-5, atol=1e-6)
+
+
+def test_orbit_pan_scroll_reset(app_factory):
+    app = app_factory()
+    cam = app.renderer.camera
+    pos0, theta0 = np.array(cam.pos), cam.theta
+    # left-drag orbit (mouse1_dragged -> rotate_by)
+    app.mouse_pressed(LEFT, 10.0, 10.0)
+    app.cursor_event(20.0, 12.0)
+    app.mouse_released(LEFT)
+    assert cam.theta != theta0
+    # right-drag pan (mouse2_dragged -> move_by)
+    tp0 = np.array(cam.target_pos)
+    app.mouse_pressed(RIGHT, 10.0, 10.0)
+    app.cursor_event(14.0, 10.0)
+    app.right_down = False  # release without autofocus (EDIT mode anyway)
+    assert not np.allclose(cam.target_pos, tp0)
+    # scroll dolly
+    r0 = cam.r
+    app.scroll_event(1.0)
+    assert cam.r != r0
+    # space resets to the canonical placement
+    app.keyboard_event(" ")
+    assert np.allclose(cam.theta, theta0)
+    assert np.allclose(cam.pos, pos0)
+
+
+def test_edit_and_visualize_frames(app_factory):
+    app = app_factory()
+    f = app.frame()
+    assert f.shape == (36, 48, 3)
+    assert np.isfinite(f).all() and f.max() > 0.1  # scene visible
+
+    app.keyboard_event("v")
+    fv = app.frame()
+    assert fv.shape == f.shape
+    # wireframe overlay drew box edges over the dimmed preview: some pixels
+    # must differ from a pure 0.35x dim of the EDIT frame
+    assert (np.abs(fv - f * 0.35) > 0.2).any()
+
+    # arrow keys walk the BVH selection stack (selectionHistory semantics)
+    assert app.selection_history == [0]
+    app.keyboard_event(KEY_LEFT)
+    assert len(app.selection_history) == 2
+    app.keyboard_event(KEY_RIGHT)
+    assert len(app.selection_history) == 3
+    app.keyboard_event(KEY_UP)
+    app.keyboard_event(KEY_UP)
+    assert app.selection_history == [0]
+    app.keyboard_event(KEY_UP)  # root: no-op
+    assert app.selection_history == [0]
+
+    # 'a' toggles the logged-ray overlay
+    app.keyboard_event("a")
+    assert app.show_rays
+    app.log_ray(np.zeros(3), np.array([0, 0, 1.0]), 5.0, True)
+    fr = app.frame()
+    assert fr.shape == f.shape
+
+
+def test_cell_render(app_factory):
+    app = app_factory()
+    app.keyboard_event("r")
+    app.keyboard_event("C")  # cell mode on
+    assert app.render_cell
+    # drag-select a cell (mouse space: y measured from top, cell uses
+    # screenH - y like the reference)
+    app.mouse_pressed(LEFT, 8.0, 28.0)
+    app._mouse1_dragged(24.0, 12.0)
+    app.mouse_released(LEFT)
+    x0, y0, dx, dy = app._cell_bounds()
+    assert (dx, dy) == (16, 16)
+    app.frame()
+    inside = app._counts[y0 : y0 + dy, x0 : x0 + dx]
+    assert inside.min() >= 1
+    outside = app._counts.copy()
+    outside[y0 : y0 + dy, x0 : x0 + dx] = 99
+    assert (outside != 99).sum() == (outside == 0).sum()  # untouched outside
+
+
+def test_autofocus_right_click(app_factory):
+    app = app_factory(lens_radius=0.1, focal_distance=1.0)
+    app.keyboard_event("r")
+    app.mouse_pressed(RIGHT, 24.0, 18.0)
+    app.mouse_released(RIGHT)
+    # right-click autofocus set focalDistance to the hit depth (pathtracer.cpp:1065-1072)
+    assert app.renderer.camera.focal_distance > 0
+    assert np.isfinite(app.renderer.camera.focal_distance)
+
+
+def test_save_image(app_factory, tmp_path):
+    app = app_factory()
+    app.filename = str(tmp_path / "shot")
+    app.keyboard_event("r")
+    app.frame()
+    path = app.keyboard_event("s") or (tmp_path / "shot.png")
+    assert (tmp_path / "shot.png").exists()
