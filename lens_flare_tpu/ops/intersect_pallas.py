@@ -42,13 +42,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracers
-# 512 lanes per tile measured fastest on v5e with HONEST tunnel timing
-# (tools/timing.py k-difference; the earlier 256 pick was made with
-# block_until_ready, which measured dispatch): primary wavefronts
-# 93->107 Mrays/s (pyramid), 31->38 (terrain256), 18->19 (terrain512);
-# bounce wavefronts 81->117 (pyramid), 5.0->5.1 (terrain256).  1024 wins
-# only on tiny scenes and loses 25% on streamed terrain512.
+# Lanes per tile, measured on v5e with HONEST tunnel timing (tools/timing.py
+# k-difference).  Single-level trees (B1 == 1: one box matrix + one
+# compaction, then pure chunk math) amortize better at 1024 lanes
+# (pyramid: primary 118->135, bounce 100->116, any-hit 295->441 Mrays/s);
+# multi-level and HBM-streamed scenes lose at 1024 (terrain256 bounce
+# 9.9->8.7, terrain512 primary 17.3->12.4) because the per-top-cluster
+# work scales with the wider tile.  `_auto_tile` picks per scene.
 TILE = 512
+TILE_SINGLE_LEVEL = 1024
+
+
+def _auto_tile(b1: int, stream: bool) -> int:
+    return TILE_SINGLE_LEVEL if (b1 == 1 and not stream) else TILE
 # VMEM budget for resident triangle planes; larger scenes stream from HBM
 STREAM_THRESHOLD_BYTES = 10 * 2**20
 # child chunks Möller-Trumbore-tested per traversal iteration (see
@@ -622,12 +628,15 @@ def _launch(
     return out_t, out_prim, out_bary, out_tests
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=TILE, chunk_batch=None):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit, tests).
 
-    N is padded internally to a TILE multiple.  ``tests`` is the per-ray
-    count of primitive intersection tests performed (bvh.h:136 parity).
+    N is padded internally to a tile multiple (``tile=None`` picks the
+    measured-best width per scene shape, see ``_auto_tile``).  ``tests`` is
+    the per-ray count of primitive intersection tests (bvh.h:136 parity).
     """
+    if tile is None:
+        tile = _auto_tile(pscene.b1, pscene.stream)
     n = o.shape[0]
     pad = (-n) % tile
     rays = jnp.concatenate(
