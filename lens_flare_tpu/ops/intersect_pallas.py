@@ -227,8 +227,41 @@ def _make_kernel(
                 def _():
                     page_dma(1 - slot, s_idx + 1).start()
 
+            # interval clip by what the tile has already resolved — exact:
+            # closest-hit shrinks t_hi to the running best t (a box whose
+            # entry t exceeds best_t cannot contain a closer hit); any-hit
+            # kills already-occluded lanes outright.  Hits found in earlier
+            # tops prune later tops' children this way.
+            if any_hit:
+                t_clip = jnp.where(out_prim_ref[:] >= 0, jnp.float32(0.0), t_hi)
+            else:
+                t_clip = jnp.minimum(t_hi, out_t_ref[:])
+
+            if b1 > 1 and not stream:
+                # re-test this top's own box against the shrunken intervals:
+                # a fully pruned top skips its child matrix + compaction +
+                # chunk walk entirely (stream mode always walks — its page
+                # DMA must be drained anyway)
+                row_sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (b1, 1), 0) == t_idx
+                ).astype(jnp.float32)
+                top_row = jnp.sum(top_ref[:] * row_sel, axis=0, keepdims=True)
+                alive = jnp.any(_box_hits(top_row, o, inv_d, t_lo, t_clip))
+            else:
+                alive = None
+
+            def walk_children():
+                self_walk(t_idx, t_clip, s_idx if stream else None)
+
+            if alive is None:
+                walk_children()
+            else:
+                pl.when(alive)(walk_children)
+            return s_idx + 1
+
+        def self_walk(t_idx, t_clip, s_stream_idx):
             child_block = _child_boxes_block(child_ref, t_idx, b2)  # (B2, 8)
-            child_hits = _box_hits(child_block, o, inv_d, t_lo, t_hi)  # (B2, TILE)
+            child_hits = _box_hits(child_block, o, inv_d, t_lo, t_clip)  # (B2, TILE)
             ch_ref[:] = child_hits.astype(jnp.float32)
             ch_ids, ch_n = _compact_flags(
                 jnp.any(child_hits, axis=1, keepdims=True).astype(jnp.float32)
@@ -238,9 +271,10 @@ def _make_kernel(
             n_child = ch_n_ref[0, 0].astype(jnp.int32)
 
             if stream:
+                slot = jax.lax.rem(s_stream_idx, 2)
                 # waiting here (not before the child slab tests) overlaps the
                 # page DMA with the box matrix + compaction work above
-                page_dma(slot, s_idx).wait()
+                page_dma(slot, s_stream_idx).wait()
                 # the page's B2 columns are exactly this top's children
                 tri_block = planes_buf[slot]  # (9K, B2)
                 n_lanes_blk = b2
@@ -414,7 +448,6 @@ def _make_kernel(
                 return 0
 
             jax.lax.fori_loop(0, (n_child + cb - 1) // cb, child_body, 0)
-            return s_idx + 1
 
         if any_hit:
             # shadow rays: stop once every lane that can still be occluded
