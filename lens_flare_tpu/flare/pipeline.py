@@ -178,9 +178,14 @@ class FlarePipeline:
             or len(self.flare_origins) == 0
         ):
             return jnp.zeros((self.height, self.width, 3))
-        if self._fft_cache is None:
-            object.__setattr__(self, "_fft_cache", aperture_fft(jnp.asarray(self.aperture.values)))
         fft_mag = self._fft_cache
+        if fft_mag is None:
+            fft_mag = aperture_fft(jnp.asarray(self.aperture.values))
+            # cache only concrete arrays: when starburst() is itself traced
+            # (e.g. a jitted composite), storing the traced FFT would leak
+            # the tracer out of the transformation
+            if not isinstance(fft_mag, jax.core.Tracer):
+                object.__setattr__(self, "_fft_cache", fft_mag)
         return starburst_field(
             fft_mag,
             jnp.float32(self.aperture.total_value),
