@@ -55,6 +55,8 @@ TILE_SINGLE_LEVEL = 1024
 
 def _auto_tile(b1: int, stream: bool) -> int:
     return TILE_SINGLE_LEVEL if (b1 == 1 and not stream) else TILE
+
+
 # VMEM budget for resident triangle planes; larger scenes stream from HBM
 STREAM_THRESHOLD_BYTES = 10 * 2**20
 # child chunks Möller-Trumbore-tested per traversal iteration (see
