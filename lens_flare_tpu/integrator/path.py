@@ -187,15 +187,22 @@ class BokehMask:
 
 
 def _trace_stats(t_hi, tests):
-    """Measured [rays traced, primitive tests] for one trace call.
+    """Measured [rays traced, primitive tests, skipped] for one trace call.
 
     A lane counts as a traced ray when its interval is live (t_hi > 0; dead
     lanes are fed t_hi = 0 by the integrator).  Accumulated in f32: totals
     are rate metrics, and per-call sums stay far below f32's 2^24 integer
     range (raytraced_renderer.cpp:707-709 parity, measured not modeled).
+
+    The third slot counts *skipped provably-zero rays* — NEE lanes the
+    round-3 estimator masks off because their contribution is exactly zero
+    (miss / delta-BSDF / emitter shading points; see _nee_active).  It is
+    filled by direct_lighting, not here; bench.py uses it to report a
+    throughput series comparable with rounds 1-2, which traced (and
+    counted) those rays.
     """
     rays = jnp.sum((t_hi > 0).astype(jnp.float32))
-    return jnp.stack([rays, jnp.sum(tests.astype(jnp.float32))])
+    return jnp.stack([rays, jnp.sum(tests.astype(jnp.float32)), 0.0])
 
 
 def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
@@ -283,11 +290,28 @@ def tape_size(settings: RenderSettings) -> int:
     return 4 + 2 * s + max(settings.max_ray_depth - 1, 0) * (4 + 2 * s)
 
 
-def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p, n, w_out_w, bsdf_id):
+def _nee_active(bundle: SceneBundle, bsdf_id, hit_mask):
+    """Lanes whose NEE estimate can be nonzero.
+
+    Delta BSDFs (mirror/refraction/glass) and pure emitters have f == 0 for
+    every sampled light direction, and missed rays have no shading point —
+    their shadow rays are pure waste.  Masking them to t_hi = 0 is exact
+    (the contribution is zero either way) and lets the any-hit kernel skip
+    whole tiles of dead lanes.  (The reference traces these too, but its
+    delta BSDFs were stubs returning zero anyway.)
+    """
+    from ..scene.collada import BSDF_DIFFUSE, BSDF_MICROFACET
+
+    t = bundle.bsdfs.bsdf_type[bsdf_id]
+    return hit_mask & ((t == BSDF_DIFFUSE) | (t == BSDF_MICROFACET))
+
+
+def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p, n, w_out_w, bsdf_id, active=None):
     """NEE estimate at a batch of shading points (pathtracer.cpp:142-213).
 
     hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,); u_tape: (N, 2S)
-    uniforms. Returns ((N, 3) radiance, trace stats).
+    uniforms; active: optional (N,) mask of lanes whose estimate is wanted
+    (see _nee_active). Returns ((N, 3) radiance, trace stats).
 
     All NEE slots (one per delta light + ns_area_light per area light) are
     traced as ONE widened shadow-ray wavefront of S*N rays so the BVH
@@ -297,10 +321,12 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     w_out = world_to_local(o2w, w_out_w)
 
     if settings.direct_hemisphere_sample:
-        return _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id)
+        return _direct_hemisphere(
+            bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id, active=active
+        )
 
     if len(settings.light_slots) == 0:
-        return jnp.zeros_like(hit_p), jnp.zeros(2)
+        return jnp.zeros_like(hit_p), jnp.zeros(3)
 
     n_pts = hit_p.shape[0]
     n_slots = len(settings.light_slots)
@@ -342,9 +368,17 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     facing = wi_obj[:, 2] >= 0  # dot(wi_obj, z) < 0 -> skip (pathtracer.cpp:186)
 
     n_b = jnp.broadcast_to(n, (n_slots, n_pts, 3)).reshape(-1, 3)
-    # lanes that can't contribute (backfacing / zero pdf) get t_hi = 0 so
-    # they never activate clusters in the packet kernel
+    # lanes that can't contribute (backfacing / zero pdf / inactive shading
+    # point) get t_hi = 0 so they never activate clusters in the packet
+    # kernel and whole-dead tiles exit the any-hit loop immediately
     live = facing & (ls.pdf > 0)
+    skipped = 0.0
+    if active is not None:
+        would_trace = live
+        live = live & jnp.broadcast_to(active, (n_slots, n_pts)).reshape(-1)
+        skipped = jnp.sum(would_trace.astype(jnp.float32)) - jnp.sum(
+            live.astype(jnp.float32)
+        )
     # relative shadow clip: area/mesh light sample points lie ON emitter
     # geometry, and the origin's normal offset (SHADOW_BIAS, up to ~1e-4)
     # shortens the hit t below the absolute dist - EPS_F clip — the light
@@ -362,15 +396,15 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     bsdf_b = jnp.broadcast_to(bsdf_id, (n_slots, n_pts)).reshape(-1)
     f = eval_f(bundle.bsdfs, bsdf_b, -wi_obj, w_out_b, families=settings.bsdf_families)
     contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
-    use = facing & jnp.logical_not(occ) & (ls.pdf > 0)
+    use = live & jnp.logical_not(occ)
     contrib = jnp.where(use[:, None], contrib, 0.0)
     return (
         contrib.reshape(n_slots, n_pts, 3).sum(axis=0) / settings.total_light_samples,
-        stats,
+        stats + jnp.array([0.0, 0.0, 1.0]) * skipped,
     )
 
 
-def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id):
+def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id, active=None):
     """Uniform-hemisphere direct estimator (pathtracer.cpp:86-140)."""
     num_samples = settings.total_light_samples  # lights * ns_area_light analogue
     p_w = 1.0 / (2.0 * jnp.pi)
@@ -386,13 +420,21 @@ def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id):
     o2w_b = jnp.broadcast_to(o2w, (num_samples, n_pts, 3, 3)).reshape(-1, 3, 3)
     pts = jnp.broadcast_to(hit_p, (num_samples, n_pts, 3)).reshape(-1, 3)
     wi_world = local_to_world(o2w_b, wi)
+    skipped = 0.0
+    if active is not None:
+        live = jnp.broadcast_to(active, (num_samples, n_pts)).reshape(-1)
+        t_hi = jnp.where(live, 1e30, 0.0)
+        skipped = jnp.sum(jnp.logical_not(live).astype(jnp.float32))
+    else:
+        t_hi = jnp.full(num_samples * n_pts, 1e30)
     hit, stats = trace_closest(
         bundle,
         pts,
         wi_world,
         jnp.full(num_samples * n_pts, EPS_F),
-        jnp.full(num_samples * n_pts, 1e30),
+        t_hi,
     )
+    stats = stats + jnp.array([0.0, 0.0, 1.0]) * skipped
     emission = get_emission(bundle.bsdfs, hit.bsdf)
     cos_out = wi[:, 2]
     w_out_b = jnp.broadcast_to(w_out, (num_samples, n_pts, 3)).reshape(-1, 3)
@@ -448,7 +490,8 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     L = get_emission(bundle.bsdfs, hit.bsdf)
     # camera-vertex direct
     Ld, st = direct_lighting(
-        bundle, settings, tape[:, 4 : 4 + 2 * s], hit_p, hit.n, -d, hit.bsdf
+        bundle, settings, tape[:, 4 : 4 + 2 * s], hit_p, hit.n, -d, hit.bsdf,
+        active=_nee_active(bundle, hit.bsdf, hit.hit),
     )
     L = L + Ld
     stats = stats + st
@@ -528,7 +571,8 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
         # direct lighting at the new vertex
         nxt_p = hit_p + wi_world * nxt.t[:, None]
         Ld, st = direct_lighting(
-            bundle, settings, u_b[:, 4:], nxt_p, nxt.n, -wi_world, nxt.bsdf
+            bundle, settings, u_b[:, 4:], nxt_p, nxt.n, -wi_world, nxt.bsdf,
+            active=_nee_active(bundle, nxt.bsdf, cont),
         )
         stats = stats + st
         L = L + jnp.where(cont[:, None], throughput * Ld, 0.0)
@@ -537,7 +581,7 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
 
     init = (
         o, d, hit, jnp.ones((n_lanes, 3)), hit.hit, jnp.zeros((n_lanes, 3)),
-        jnp.zeros(2),
+        jnp.zeros(3),
     )
     (_, _, _, _, _, L, stats), _ = jax.lax.scan(
         bounce_body, init, (jnp.arange(1, settings.max_ray_depth), tape_b)
@@ -580,7 +624,7 @@ def render_batch(
         illum = 0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
         return (film + rad, s1 + illum, s2 + illum * illum, stats + st), None
 
-    init = (jnp.zeros((n_px, 3)), jnp.zeros(n_px), jnp.zeros(n_px), jnp.zeros(2))
+    init = (jnp.zeros((n_px, 3)), jnp.zeros(n_px), jnp.zeros(n_px), jnp.zeros(3))
     (film, s1, s2, stats), _ = jax.lax.scan(sample_body, init, jnp.arange(n_samples))
     return film, s1, s2, stats
 
@@ -635,7 +679,7 @@ def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraP
         jnp.zeros(n_px),
         jnp.zeros(n_px, jnp.int32),
         jnp.zeros(n_px, bool),
-        jnp.zeros(2),
+        jnp.zeros(3),
     )
     adaptive = settings.ns_aa > spb
     if adaptive:

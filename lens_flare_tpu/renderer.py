@@ -252,7 +252,8 @@ class Renderer:
 
         film = np.zeros((h, w, 3), np.float32)
         counts = np.zeros((h, w), np.int32)
-        total_stats = np.zeros(2, np.float64)  # [rays, isect tests], measured
+        # [rays, isect tests, skipped provably-zero NEE rays], measured
+        total_stats = np.zeros(3, np.float64)
 
         tile = self.tile_pixels
         t_start = time.perf_counter()
@@ -357,7 +358,7 @@ class Renderer:
         s1 = np.zeros(n, np.float64)
         s2 = np.zeros(n, np.float64)
         count = np.zeros(n, np.int32)
-        stats = np.zeros(2, np.float64)
+        stats = np.zeros(3, np.float64)
         active = np.arange(n)
         tile = self.tile_pixels
 
