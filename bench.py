@@ -20,8 +20,15 @@ import numpy as np
 BASELINE_CPU_MRAYS = 5.0
 
 
-def _probe_device(timeout_s: float = 240.0) -> str:
-    """Return the usable platform; fall back to CPU if the TPU tunnel hangs."""
+def _probe_device(timeout_s: float = 240.0, attempts: int = 3) -> str:
+    """Return the usable platform; fall back to CPU if the TPU tunnel hangs.
+
+    The axon tunnel wedges transiently (observed several times per day);
+    a wedged probe in a fresh process usually succeeds on retry, so the
+    probe re-execs itself up to ``attempts`` times (with a pause) before
+    accepting the CPU fallback — the recorded bench artifact should not
+    depend on one bad probe.
+    """
     import threading
 
     result = {}
@@ -42,10 +49,16 @@ def _probe_device(timeout_s: float = 240.0) -> str:
     t.join(timeout_s)
     if "platform" in result:
         return result["platform"]
-    # tunnel wedged or init failed: restart on CPU so the bench still reports
+    # tunnel wedged or init failed: retry in a fresh process (the JAX
+    # backend is process-global, so a hung init cannot be retried in-proc)
     import os
     import sys
 
+    tries = int(os.environ.get("LF_BENCH_PROBE_TRIES", "0"))
+    if tries + 1 < attempts:
+        os.environ["LF_BENCH_PROBE_TRIES"] = str(tries + 1)
+        time.sleep(60.0)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     if os.environ.get("LF_BENCH_CPU") != "1":
         os.environ["LF_BENCH_CPU"] = "1"
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -155,6 +168,12 @@ def main():
                 "mrays_traced_per_s": round(mrays_traced, 3),
                 "frame_s": round(dt, 4),
                 "isects_per_ray": round(isects_per_ray, 2),
+                "note": (
+                    "value keeps the rounds-1/2 workload accounting (traced + "
+                    "skipped provably-zero NEE lanes per second) for series "
+                    "comparability; mrays_traced_per_s is the honest traced "
+                    "rate and frame_s the wall-clock per 512^2@8spp frame"
+                ),
             }
         )
     )

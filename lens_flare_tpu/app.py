@@ -263,7 +263,10 @@ class Application:
             self.mouse_x, self.mouse_y = x, y
         if button == LEFT:
             if self.mode == Mode.RENDER and self.render_cell:
-                self.cell_tl = (self.mouse_x, self.screen_h - self.mouse_y)
+                # raw y: our film, display and mouse all share the top-down
+                # row convention (the reference flips screenH - y only
+                # because its film is bottom-up, application.cpp:566)
+                self.cell_tl = (self.mouse_x, self.mouse_y)
                 self.cell_br = self.cell_tl
             self.left_down = True
         elif button == RIGHT:
@@ -291,7 +294,8 @@ class Application:
                 self.start_raytracing()
         elif button == RIGHT:
             if self.mode == Mode.RENDER:
-                self.autofocus(self.mouse_x, self.screen_h - self.mouse_y)
+                # raw y (see mouse_pressed note on the row convention)
+                self.autofocus(self.mouse_x, self.mouse_y)
                 self.start_raytracing()
             self.right_down = False
         elif button == MIDDLE:
@@ -306,7 +310,7 @@ class Application:
 
     def _mouse1_dragged(self, x, y):
         if self.mode == Mode.RENDER:
-            self.cell_br = (x, self.screen_h - y)
+            self.cell_br = (x, y)
             return
         dx = x - self.mouse_x
         dy = y - self.mouse_y
@@ -457,7 +461,9 @@ class Application:
         edge_x = math.tan(0.5 * math.radians(cam.h_fov))
         edge_y = math.tan(0.5 * math.radians(cam.v_fov))
         sx = (rel[:, 0] / zs / edge_x + 1) / 2 * pw
-        sy = (1 - (rel[:, 1] / zs / edge_y + 1) / 2) * ph
+        # film rows grow WITH +camera-y (generate_rays: cy = tanv*(2y-1)),
+        # so no flip here — the overlay must match _edit_frame's convention
+        sy = (rel[:, 1] / zs / edge_y + 1) / 2 * ph
         return sx, sy, ok
 
     def _draw_segment(self, frame, p0, p1, color, samples=160):
@@ -512,13 +518,23 @@ class Application:
             for i in range(0, len(xs), tile):
                 px = xs[i : i + tile]
                 py = ys[i : i + tile]
+                m = len(px)
+                # pad short tails to a coarse shape grid, as Renderer.render
+                # does: every distinct wavefront shape is a fresh XLA compile
+                # (tens of seconds through the TPU tunnel), which would stall
+                # the viewer on each new cell size
+                grain = 4096 if tile > 8192 else 256
+                bucket = max(min(-(-m // grain) * grain, tile), m)
+                if bucket > m:
+                    px = np.pad(px, (0, bucket - m), mode="edge")
+                    py = np.pad(py, (0, bucket - m), mode="edge")
                 film, _, _, _ = _batch_jit(
                     r.bundle, r.settings, cam,
                     jnp.asarray(px), jnp.asarray(py), r.width, r.height,
                     key, jnp.uint32(self._sample_idx), ns,
                 )
-                self._film[py, px] += np.asarray(film)
-                self._counts[py, px] += ns
+                self._film[py[:m], px[:m]] += np.asarray(film)[:m]
+                self._counts[py[:m], px[:m]] += ns
             self._sample_idx += ns
             # log a handful of primary rays for the visualizer ray overlay
             if self.logged_rays is None:

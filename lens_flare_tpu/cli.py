@@ -98,13 +98,14 @@ def main(argv=None) -> int:
     print(f"[PathTracer] Loading scene {args.scene}")
     r.load(args.scene)
     if args.view:
-        import runpy
+        # interactive mode reuses the fully-configured, already-loaded
+        # renderer (every CLI flag applies: envmap, adaptive, flare, ...)
+        from .app import Application
+        from .term_viewer import run_viewer
+
         from pathlib import Path
 
-        viewer = Path(__file__).resolve().parent.parent / "tools" / "viewer.py"
-        sys.argv = [str(viewer), args.scene, "-s", str(args.ns_aa), "-m", str(args.max_ray_depth), "-r", str(args.r[0]), str(args.r[1])]
-        runpy.run_path(str(viewer), run_name="__main__")
-        return 0
+        return run_viewer(Application(r, filename=str(Path(args.output).with_suffix(""))))
     cell = tuple(args.p) if args.p else None
     r.render_to_file(args.output, cell=cell)
     return 0

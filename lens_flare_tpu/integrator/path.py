@@ -115,9 +115,12 @@ def make_settings(
     # in the device tables, or jit silently drops whole light/BSDF families
     # (a caller-passed stale light_types/bsdf_families survives the
     # setdefault above — catch it here instead of rendering wrong radiance).
-    missing = {int(t) for t in light_table.light_type} - set(settings.light_types)
-    if missing:
-        raise ValueError(f"light_types {settings.light_types} misses scene light codes {sorted(missing)}")
+    if settings.light_types is not None:  # None = documented "no specialization"
+        missing = {int(t) for t in light_table.light_type} - set(settings.light_types)
+        if missing:
+            raise ValueError(
+                f"light_types {settings.light_types} misses scene light codes {sorted(missing)}"
+            )
     if bsdf_table is not None and settings.bsdf_families is not None:
         missing = {int(t) for t in bsdf_table.bsdf_type} - set(settings.bsdf_families)
         if missing:

@@ -44,6 +44,11 @@ class RenderStats:
     bvh_build_time: float = 0.0
     total_rays: int = 0  # measured on device (live wavefront lanes)
     total_isects: int = 0  # measured primitive intersection tests
+    # NEE lanes skipped because their contribution is provably zero
+    # (miss / delta-BSDF / emitter shading points) — counted on device;
+    # rounds 1-2 traced these, so total_rays + total_zero_skipped is the
+    # series-comparable workload count
+    total_zero_skipped: int = 0
     mrays_per_s: float = 0.0
     isects_per_ray: float = 0.0
 
@@ -312,6 +317,7 @@ class Renderer:
         # wavefront lanes and primitive tests counted inside the kernels
         self.stats.total_rays = int(total_stats[0])
         self.stats.total_isects = int(total_stats[1])
+        self.stats.total_zero_skipped = int(total_stats[2])
         self.stats.mrays_per_s = self.stats.total_rays / max(self.stats.wall_time, 1e-9) / 1e6
         self.stats.isects_per_ray = self.stats.total_isects / max(self.stats.total_rays, 1)
         if progress:

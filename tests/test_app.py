@@ -132,7 +132,21 @@ def test_edit_and_visualize_frames(app_factory):
     assert fv.shape == f.shape
     # wireframe overlay drew box edges over the dimmed preview: some pixels
     # must differ from a pure 0.35x dim of the EDIT frame
-    assert (np.abs(fv - f * 0.35) > 0.2).any()
+    changed = np.abs(fv - f * 0.35).max(axis=-1) > 0.2
+    assert changed.any()
+    # overlay alignment (regression for the y-flip bug): the root AABB
+    # bounds all geometry, so its projected row span must cover every row
+    # where the preview actually shows geometry
+    bvh = app._host_bvh()
+    mn, mx = bvh.node_min[0], bvh.node_max[0]
+    corners = np.array(
+        [[(mx if i & 1 else mn)[0], (mx if i & 2 else mn)[1], (mx if i & 4 else mn)[2]] for i in range(8)]
+    )
+    _, sy, ok = app._project(corners)
+    assert ok.any()
+    hit_rows = np.where(app._preview_hit.any(axis=1))[0]
+    assert hit_rows.min() >= sy[ok].min() - 2
+    assert hit_rows.max() <= sy[ok].max() + 2
 
     # arrow keys walk the BVH selection stack (selectionHistory semantics)
     assert app.selection_history == [0]
@@ -159,13 +173,14 @@ def test_cell_render(app_factory):
     app.keyboard_event("r")
     app.keyboard_event("C")  # cell mode on
     assert app.render_cell
-    # drag-select a cell (mouse space: y measured from top, cell uses
-    # screenH - y like the reference)
-    app.mouse_pressed(LEFT, 8.0, 28.0)
-    app._mouse1_dragged(24.0, 12.0)
+    # drag-select a cell; mouse, display and film all share top-down rows
+    # (no screenH - y flip — that compensates the reference's bottom-up
+    # film, which ours is not), so the bounds are the raw drag rectangle
+    app.mouse_pressed(LEFT, 8.0, 12.0)
+    app._mouse1_dragged(24.0, 28.0)
     app.mouse_released(LEFT)
     x0, y0, dx, dy = app._cell_bounds()
-    assert (dx, dy) == (16, 16)
+    assert (x0, y0, dx, dy) == (8, 12, 16, 16)
     app.frame()
     inside = app._counts[y0 : y0 + dy, x0 : x0 + dx]
     assert inside.min() >= 1

@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_render(tmp_path, dae_dir):
+def _run_workers(tmp_path, dae_dir):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     procs = []
@@ -57,6 +57,21 @@ def test_two_process_distributed_render(tmp_path, dae_dir):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    ok = all(p.returncode == 0 for p in procs) and all(
+        (tmp_path / f"ok_{pid}").exists() for pid in range(2)
+    )
+    return ok, procs, outs
+
+
+def test_two_process_distributed_render(tmp_path, dae_dir):
+    # one retry with a fresh port: the free-port grab is racy (TOCTOU) and
+    # jax.distributed coordination can time out when the CI host is loaded
+    # (observed flaking only under the full parallel suite, never isolated)
+    ok, procs, outs = _run_workers(tmp_path, dae_dir)
+    if not ok:
+        for f in tmp_path.iterdir():
+            f.unlink()
+        ok, procs, outs = _run_workers(tmp_path, dae_dir)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert (tmp_path / f"ok_{pid}").exists()
