@@ -555,7 +555,14 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
         stats = stats + st
         cont = cont & nxt.hit
 
-        cos_theta = bs.wi[:, 2] / jnp.maximum(jnp.linalg.norm(bs.wi, axis=-1), 1e-30)
+        # |cos|: refracted directions point BELOW the shading frame
+        # (negative local z), and the estimator weight is f |cos| / pdf —
+        # the signed cosine flipped glass-transmission throughput negative
+        # (found by visual QA: the CBspheres glass sphere rendered black
+        # with negative radiance patches)
+        cos_theta = jnp.abs(bs.wi[:, 2]) / jnp.maximum(
+            jnp.linalg.norm(bs.wi, axis=-1), 1e-30
+        )
         step = bs.f * (cos_theta / (bs.pdf * CPDF))[:, None]
         throughput = jnp.where(cont[:, None], throughput * step, throughput)
 

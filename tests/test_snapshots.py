@@ -26,10 +26,12 @@ RTOL = 5e-3 if jax.default_backend() == CAPTURE_BACKEND else 5e-2
 # (scene, mean RGB, std, probe pixel [16,16]) recorded at 32^2 @ 4spp depth 3
 SNAPSHOTS = [
     (
+        # re-baselined after the |cos| throughput fix (signed cosine had
+        # flipped glass-transmission paths negative)
         "sky/CBspheres.dae",
-        [0.10183172, 0.08911856, 0.09974515],
-        0.56330258,
-        [0.3786569, 0.32233277, 0.32233277],
+        [0.11133787, 0.09862471, 0.10962834],
+        0.56754231,
+        [0.37865689, 0.32233277, 0.32233277],
     ),
     (
         "sky/CBbunny.dae",
@@ -68,3 +70,6 @@ def test_scene_family_snapshot(dae_dir, scene, mean, std, probe):
     np.testing.assert_allclose(float(hdr.std()), std, rtol=RTOL)
     np.testing.assert_allclose(hdr[16, 16], probe, rtol=RTOL, atol=1e-6)
     assert np.isfinite(hdr).all()
+    # radiance is physically non-negative; a signed-cosine bug once flipped
+    # glass-transmission throughput negative and the snapshot baked it in
+    assert float(hdr.min()) >= 0.0

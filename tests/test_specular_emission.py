@@ -139,3 +139,17 @@ def test_cbspheres_light_reflection_golden(dae_dir):
     hot = (lower.max(axis=-1) > 2.0).sum()
     assert hot >= 3, f"specular light reflection missing: {hot} hot pixels"
     assert np.isfinite(hdr).all()
+
+
+def test_glass_transmission_positive(dae_dir):
+    """The glass sphere must transmit the room, not render black: the
+    signed cosine in the bounce throughput once flipped glass-transmission
+    paths to NEGATIVE radiance (found by visual QA, round 3)."""
+    r = Renderer(width=48, height=48, ns_aa=16, max_ray_depth=5, indirect=True,
+                 seed=0, tile_pixels=48 * 48 * 16)
+    r.load(dae_dir / "sky" / "CBspheres.dae")
+    hdr, _ = r.render(progress=False)
+    assert float(hdr.min()) >= 0.0, "negative radiance"
+    # left-center patch inside the glass sphere: refracted room is bright
+    patch = hdr[26:31, 15:21]
+    assert patch.mean() > 0.05, f"glass sphere is dark: {patch.mean()}"
