@@ -46,14 +46,27 @@ INF = 3.0e38  # python float: jnp scalars captured in kernels must not be tracer
 # k-difference).  Single-level trees (B1 == 1: one box matrix + one
 # compaction, then pure chunk math) amortize better at 1024 lanes
 # (pyramid: primary 118->135, bounce 100->116, any-hit 295->441 Mrays/s);
-# multi-level and HBM-streamed scenes lose at 1024 (terrain256 bounce
-# 9.9->8.7, terrain512 primary 17.3->12.4) because the per-top-cluster
-# work scales with the wider tile.  `_auto_tile` picks per scene.
+# multi-level and HBM-streamed scenes lose at 1024 for closest-hit
+# (terrain256 bounce 9.9->8.7, terrain512 primary 17.3->12.4) because the
+# per-top-cluster work scales with the wider tile.  The ANY-HIT path is
+# dominated by per-tile fixed overhead (~2 us/tile: ray load, output init,
+# box matrix, compaction — the chunk loop early-exits), so it wants tiles
+# ~2x wider when the tree fits VMEM: pyramid 390->620 Mrays/s at 2048
+# (4096 regresses), terrain256 36->39 at 1024 (2048 loses: 30); streamed
+# scenes keep 512 (terrain512: 17.1 at 512 vs 14.8 at 1024 — the page DMA
+# drain scales with tile count's inverse but the per-top child matrices
+# scale with width).  `_auto_tile` picks per scene and mode.
 TILE = 512
 TILE_SINGLE_LEVEL = 1024
+TILE_ANY_HIT_SINGLE_LEVEL = 2048
+TILE_ANY_HIT_MULTI_LEVEL = 1024
 
 
-def _auto_tile(b1: int, stream: bool) -> int:
+def _auto_tile(b1: int, stream: bool, any_hit: bool = False) -> int:
+    if any_hit:
+        if stream:
+            return TILE
+        return TILE_ANY_HIT_SINGLE_LEVEL if b1 == 1 else TILE_ANY_HIT_MULTI_LEVEL
     return TILE_SINGLE_LEVEL if (b1 == 1 and not stream) else TILE
 
 
@@ -671,7 +684,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
     the per-ray count of primitive intersection tests (bvh.h:136 parity).
     """
     if tile is None:
-        tile = _auto_tile(pscene.b1, pscene.stream)
+        tile = _auto_tile(pscene.b1, pscene.stream, any_hit)
     n = o.shape[0]
     pad = (-n) % tile
     rays = jnp.concatenate(
