@@ -15,8 +15,16 @@ pointer-chasing scalar walk:
   with the winner reduced by a one-hot max instead of a gather
 - spheres (<= 64) are tested brute-force per tile after the cluster walk
 
-Two residency modes (chosen per scene by :class:`PallasScene`):
+Three modes (chosen per scene by :class:`PallasScene`):
 
+- **Brute mode** (<= BRUTE_MAX_TRIS real triangles, ANY-HIT queries): no
+  tree at all — one statically-unrolled (S, TILE) Möller-Trumbore pass over
+  every real triangle.  Tiny-scene shadow queries are bound by the tree
+  walk's per-chunk scalar/sequential overhead, not vector math; the brute
+  pass is pure straight-line VPU code (measured 0.66 -> 0.18 ms on a 262k
+  shadow wavefront of the 138-tri flagship scene, ~1470 Mrays/s).  Coherent
+  closest-hit wavefronts keep the culled tree walk, which wins there
+  (2.1 vs 3.5 ms primary).
 - **VMEM mode** (<= ~256k triangles): the whole cluster tree lives in VMEM
   (~9.4 MB of triangle planes at the (64, 128, 32) shape).
 - **HBM-streaming mode** (any size; reference parity with the arbitrary-size
@@ -62,7 +70,12 @@ TILE_ANY_HIT_SINGLE_LEVEL = 2048
 TILE_ANY_HIT_MULTI_LEVEL = 1024
 
 
-def _auto_tile(b1: int, stream: bool, any_hit: bool = False) -> int:
+def _auto_tile(b1: int, stream: bool, any_hit: bool = False, brute: bool = False) -> int:
+    if brute:
+        # measured on pyramid (138 tris): any-hit peaks at 1024 lanes
+        # (1473 Mrays/s; 2048 regresses to 456); closest-hit (tests only —
+        # production keeps the tree walk) is width-insensitive
+        return TILE_SINGLE_LEVEL
     if any_hit:
         if stream:
             return TILE
@@ -72,6 +85,12 @@ def _auto_tile(b1: int, stream: bool, any_hit: bool = False) -> int:
 
 # VMEM budget for resident triangle planes; larger scenes stream from HBM
 STREAM_THRESHOLD_BYTES = 10 * 2**20
+# Tiny scenes skip the cluster tree entirely: one static (S, TILE)
+# Möller-Trumbore pass over every real triangle.  The tree walk's cost on
+# such scenes is per-chunk scalar/sequential overhead (roofline in
+# docs/PERFORMANCE.md), not vector math — brute force replaces the dynamic
+# fori_loop + compaction with pure VPU work and nothing else.
+BRUTE_MAX_TRIS = 512
 # child chunks Möller-Trumbore-tested per traversal iteration (see
 # _make_kernel docstring).  None = auto (tools/sweep_chunk_batch.py on v5e):
 # single-level trees amortize the child loop well (+27% primary on pyramid
@@ -486,32 +505,166 @@ def _make_kernel(
         else:
             jax.lax.fori_loop(0, n_top, top_body, 0)
 
-        # --- spheres, brute force (sphere.cpp:11-111) ---
-        sph = sph_ref[:]
-        for s_idx in range(n_spheres):
-            c = [sph[s_idx, i] for i in range(3)]
-            r = sph[s_idx, 3]
-            oc = [o[i] - c[i] for i in range(3)]
-            a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            bq = 2.0 * (oc[0] * d[0] + oc[1] * d[1] + oc[2] * d[2])
-            cq = oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2] - r * r
-            disc = bq * bq - 4.0 * a * cq
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t1 = (-bq - sq) / (2.0 * a)
-            t2 = (-bq + sq) / (2.0 * a)
-            best_t = out_t_ref[:]
-            limit = jnp.minimum(t_hi, best_t)
-            t1_ok = (t1 >= t_lo) & (t1 <= limit)
-            t2_ok = (t2 >= t_lo) & (t2 <= limit)
-            ts = jnp.where(t1_ok, t1, t2)
-            valid = (disc >= 0) & (t1_ok | t2_ok)
-            improved = valid & (ts < best_t)
-            out_t_ref[:] = jnp.where(improved, ts, best_t)
-            out_prim_ref[:] = jnp.where(
-                improved, jnp.int32(b1 * b2 * k + s_idx), out_prim_ref[:]
+        _sphere_pass(
+            sph_ref, o, d, t_lo, t_hi, out_t_ref, out_prim_ref, out_tests_ref,
+            n_spheres, b1 * b2 * k,
+        )
+
+    return kernel
+
+
+def _sphere_pass(sph_ref, o, d, t_lo, t_hi, out_t_ref, out_prim_ref, out_tests_ref, n_spheres, base_slot):
+    """Brute-force sphere tests after the triangle walk (sphere.cpp:11-111)."""
+    sph = sph_ref[:]
+    for s_idx in range(n_spheres):
+        c = [sph[s_idx, i] for i in range(3)]
+        r = sph[s_idx, 3]
+        oc = [o[i] - c[i] for i in range(3)]
+        a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        bq = 2.0 * (oc[0] * d[0] + oc[1] * d[1] + oc[2] * d[2])
+        cq = oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2] - r * r
+        disc = bq * bq - 4.0 * a * cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-bq - sq) / (2.0 * a)
+        t2 = (-bq + sq) / (2.0 * a)
+        best_t = out_t_ref[:]
+        limit = jnp.minimum(t_hi, best_t)
+        t1_ok = (t1 >= t_lo) & (t1 <= limit)
+        t2_ok = (t2 >= t_lo) & (t2 <= limit)
+        ts = jnp.where(t1_ok, t1, t2)
+        valid = (disc >= 0) & (t1_ok | t2_ok)
+        improved = valid & (ts < best_t)
+        out_t_ref[:] = jnp.where(improved, ts, best_t)
+        out_prim_ref[:] = jnp.where(
+            improved, jnp.int32(base_slot + s_idx), out_prim_ref[:]
+        )
+    if n_spheres:
+        out_tests_ref[:] = out_tests_ref[:] + jnp.int32(n_spheres)
+
+
+def _make_brute_kernel(s_pad: int, s_real: int, n_spheres: int, any_hit: bool, tile: int):
+    """Tiny-scene kernel: ONE static (S, TILE) Möller-Trumbore pass, no tree.
+
+    For scenes of <= BRUTE_MAX_TRIS triangles the cluster walk's dynamic
+    fori_loop, box matrices and compaction are pure overhead (the roofline
+    shows those scenes bound by per-chunk scalar/sequential work, ~10 us per
+    1024-lane tile on a 138-tri scene vs ~2 us of vector math).  Testing
+    EVERY real triangle against the tile is more arithmetic but zero
+    sequential work: the whole kernel is straight-line VPU code.  Padding
+    rows are zero => det == 0 => never hit.
+    """
+
+    def kernel(rays_ref, tri_ref, sph_ref, out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref):
+        rays = rays_ref[:]  # (8, TILE)
+        o = [rays[i : i + 1, :] for i in range(3)]
+        d = [rays[3 + i : 4 + i, :] for i in range(3)]
+        t_lo = rays[6:7, :]
+        t_hi = rays[7:8, :]
+
+        out_t_ref[:] = jnp.full((1, tile), INF, jnp.float32)
+        out_prim_ref[:] = jnp.full((1, tile), -1, jnp.int32)
+        out_bary_ref[:] = jnp.zeros((2, tile), jnp.float32)
+        out_tests_ref[:] = jnp.zeros((1, tile), jnp.int32)
+
+        live = t_hi > t_lo  # (1, TILE); dead lanes = masked NEE slots, padding
+
+        # Static sublane blocks bound the live-temporary footprint: a single
+        # (S_pad, TILE) pass keeps ~20 MT intermediates live at once and
+        # blows the 16 MB scoped-VMEM stack at S=144, TILE=1024 (measured).
+        # The block loop is unrolled at trace time — still straight-line VPU
+        # code, zero scalar/sequential work.
+        sb = min(s_pad, 64)
+
+        @pl.when(jnp.any(live))
+        def _():
+            for c0 in range(0, s_pad, sb):
+                tri = tri_ref[c0 : c0 + sb, :]  # (SB, 9): [p0 | e1 | e2]
+                p0 = [tri[:, i : i + 1] for i in range(3)]  # (SB, 1)
+                e1 = [tri[:, 3 + i : 4 + i] for i in range(3)]
+                e2 = [tri[:, 6 + i : 7 + i] for i in range(3)]
+
+                s = [o[i] - p0[i] for i in range(3)]  # (SB, TILE)
+                s1 = [
+                    d[1] * e2[2] - d[2] * e2[1],
+                    d[2] * e2[0] - d[0] * e2[2],
+                    d[0] * e2[1] - d[1] * e2[0],
+                ]
+                s2 = [
+                    s[1] * e1[2] - s[2] * e1[1],
+                    s[2] * e1[0] - s[0] * e1[2],
+                    s[0] * e1[1] - s[1] * e1[0],
+                ]
+                det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
+                tt_n = s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]
+                bb1_n = s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]
+                bb2_n = s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]
+
+                if any_hit:
+                    sgn = jnp.where(det >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+                    adet = det * sgn
+                    tts = tt_n * sgn
+                    b1s = bb1_n * sgn
+                    b2s = bb2_n * sgn
+                    valid = (
+                        (adet > 0)
+                        & (tts >= t_lo * adet)
+                        & (tts <= t_hi * adet)
+                        & (b1s >= 0)
+                        & (b1s <= adet)
+                        & (b2s >= 0)
+                        & (b2s <= adet)
+                        & (b1s + b2s <= adet)
+                    )  # (SB, TILE)
+                    occluded = jnp.any(valid, axis=0, keepdims=True)
+                    out_prim_ref[:] = jnp.where(
+                        occluded, jnp.int32(0), out_prim_ref[:]
+                    )
+                else:
+                    inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
+                    tt = tt_n * inv_det
+                    bb1 = bb1_n * inv_det
+                    bb2 = bb2_n * inv_det
+                    best_t = out_t_ref[:]  # (1, TILE)
+                    limit = jnp.minimum(t_hi, best_t)
+                    valid = (
+                        (det != 0)
+                        & (tt >= t_lo)
+                        & (tt <= limit)
+                        & (bb1 >= 0)
+                        & (bb1 <= 1)
+                        & (bb2 >= 0)
+                        & (bb2 <= 1)
+                        & (bb1 + bb2 <= 1)
+                    )
+                    t_masked = jnp.where(valid, tt, INF)
+                    t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
+                    improved = t_best_k < best_t
+                    ids = c0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (min(sb, s_pad - c0), 1), 0
+                    )
+                    is_best = valid & (t_masked == t_best_k)
+                    prim_best = jnp.max(
+                        jnp.where(is_best, ids, jnp.int32(-1)), axis=0, keepdims=True
+                    )
+                    b1_best = jnp.max(
+                        jnp.where(is_best, bb1, -INF), axis=0, keepdims=True
+                    )
+                    b2_best = jnp.max(
+                        jnp.where(is_best, bb2, -INF), axis=0, keepdims=True
+                    )
+                    out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
+                    out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
+                    out_bary_ref[:] = jnp.where(
+                        improved,
+                        jnp.concatenate([b1_best, b2_best], axis=0),
+                        out_bary_ref[:],
+                    )
+            # every live lane tests all real triangles (bvh.h:136 parity)
+            out_tests_ref[:] = jnp.int32(s_real) * live.astype(jnp.int32)
+            _sphere_pass(
+                sph_ref, o, d, t_lo, t_hi, out_t_ref, out_prim_ref, out_tests_ref,
+                n_spheres, s_pad,
             )
-        if n_spheres:
-            out_tests_ref[:] = out_tests_ref[:] + jnp.int32(n_spheres)
 
     return kernel
 
@@ -535,7 +688,7 @@ class PallasScene:
     # registered as a pytree (bottom of module) so a PallasScene can ride
     # inside jit-traced bundles; the cluster shape is static aux data
 
-    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None):
+    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None):
         self.top = jnp.asarray(wide_bvh.top_boxes)
         b1, b2, k = wide_bvh.b1, wide_bvh.b2, wide_bvh.k
         n_nodes = b1 * b2
@@ -544,6 +697,37 @@ class PallasScene:
         if force_stream is not None:
             stream = force_stream and b1 > 1
         self.stream = bool(stream)
+        brute = (not self.stream) and 0 < num_tris <= BRUTE_MAX_TRIS
+        if force_brute is not None:
+            brute = bool(force_brute) and not self.stream and num_tris > 0
+        self.brute = brute
+
+        n_sph = len(sph_center)
+        if self.brute:
+            # tiny scene: ALSO pack the real triangle rows (S_pad, 9) =
+            # [p0 | e1 | e2], padded to a sublane multiple with zero rows
+            # (det == 0 => never hit).  Used by the brute kernel for any-hit
+            # queries (where it beats the tree walk ~3x, see _make_brute_
+            # kernel); closest-hit keeps the culled tree walk, which wins on
+            # coherent wavefronts.
+            real = wide_bvh.tri_id >= 0
+            rows = np.ascontiguousarray(wide_bvh.tri_soa[real][:, :9], np.float32)
+            ids = wide_bvh.tri_id[real].astype(np.int32)
+            s_real = rows.shape[0]
+            s_pad = (max(s_real, 1) + 7) // 8 * 8
+            rows = np.pad(rows, ((0, s_pad - s_real), (0, 0)))
+            self.tri_brute = jnp.asarray(rows)
+            self.brute_map = jnp.asarray(np.concatenate([
+                np.pad(ids, (0, s_pad - s_real)),
+                (num_tris + np.arange(max(n_sph, 1))).astype(np.int32),
+            ]))
+            self.s_pad = int(s_pad)
+            self.s_real = int(s_real)
+        else:
+            self.tri_brute = jnp.zeros((8, 9), jnp.float32)
+            self.brute_map = jnp.zeros(9, jnp.int32)
+            self.s_pad = 0
+            self.s_real = 0
 
         soa = wide_bvh.tri_soa.reshape(n_nodes, k, 12)
         planes = np.ascontiguousarray(
@@ -575,9 +759,12 @@ class PallasScene:
             (num_tris + np.arange(max(n_sph, 1))).astype(np.int32),
         ])
         self.slot_map = jnp.asarray(slot_map)
-        self.b1 = b1
-        self.b2 = b2
-        self.k = k
+        self._finish_init(wide_bvh, sph_center, sph_radius, num_tris)
+
+    def _finish_init(self, wide_bvh, sph_center, sph_radius, num_tris):
+        self.b1 = wide_bvh.b1
+        self.b2 = wide_bvh.b2
+        self.k = wide_bvh.k
         self.num_tris = int(num_tris)
         n_sph = len(sph_center)
         sph = np.zeros((max(n_sph, 1), 8), np.float32)
@@ -589,15 +776,21 @@ class PallasScene:
 
 
 def _pscene_flatten(ps):
-    children = (ps.top, ps.child, ps.tri, ps.sph, ps.slot_map)
-    aux = (ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream)
+    children = (ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute, ps.brute_map)
+    aux = (
+        ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
+        ps.brute, ps.s_pad, ps.s_real,
+    )
     return children, aux
 
 
 def _pscene_unflatten(aux, children):
     ps = object.__new__(PallasScene)
-    ps.top, ps.child, ps.tri, ps.sph, ps.slot_map = children
-    ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream = aux
+    ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute, ps.brute_map = children
+    (
+        ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
+        ps.brute, ps.s_pad, ps.s_real,
+    ) = aux
     return ps
 
 
@@ -608,19 +801,48 @@ jax.tree_util.register_pytree_node(PallasScene, _pscene_flatten, _pscene_unflatt
     jax.jit,
     static_argnames=(
         "b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile",
-        "stream", "chunk_batch",
+        "stream", "chunk_batch", "brute", "s_pad", "s_real",
     ),
 )
 def _launch(
     rays, top, child, tri, sph,
     b1, b2, k, n_spheres, num_tris,
     interpret=False, any_hit=False, tile=TILE, stream=False, chunk_batch=None,
+    brute=False, s_pad=0, s_real=0,
 ):
+    n_tiles = rays.shape[1] // tile
+    n = rays.shape[1]
+    if brute:
+        kernel = _make_brute_kernel(s_pad, s_real, n_spheres, any_hit, tile)
+        grid_spec = pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, n), jnp.float32),
+                jax.ShapeDtypeStruct((1, n), jnp.int32),
+                jax.ShapeDtypeStruct((2, n), jnp.float32),
+                jax.ShapeDtypeStruct((1, n), jnp.int32),
+            ],
+        )(rays, tri, sph)
     if chunk_batch is None:
         chunk_batch = CHUNK_BATCH
     if chunk_batch is None:
         chunk_batch = _auto_chunk_batch(b1, any_hit)
-    n_tiles = rays.shape[1] // tile
     if not stream:
         assert 128 % b2 == 0, "VMEM mode assumes b2 | 128 (one block per top cluster)"
     kernel = _make_kernel(
@@ -676,15 +898,24 @@ def _launch(
     return out_t, out_prim, out_bary, out_tests
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None, brute=None):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit, tests).
 
     N is padded internally to a tile multiple (``tile=None`` picks the
     measured-best width per scene shape, see ``_auto_tile``).  ``tests`` is
     the per-ray count of primitive intersection tests (bvh.h:136 parity).
+
+    ``brute=None`` auto-selects the no-tree brute kernel for ANY-HIT
+    queries on tiny scenes (measured ~3x the tree walk; coherent
+    closest-hit stays on the culled tree, which wins there).  Pass
+    True/False to force either kernel (tests).
     """
+    if brute is None:
+        brute = pscene.brute and any_hit
+    else:
+        brute = bool(brute) and pscene.brute
     if tile is None:
-        tile = _auto_tile(pscene.b1, pscene.stream, any_hit)
+        tile = _auto_tile(pscene.b1, pscene.stream, any_hit, brute)
     n = o.shape[0]
     pad = (-n) % tile
     rays = jnp.concatenate(
@@ -696,7 +927,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         rays,
         pscene.top,
         pscene.child,
-        pscene.tri,
+        pscene.tri_brute if brute else pscene.tri,
         pscene.sph,
         b1=pscene.b1,
         b2=pscene.b2,
@@ -708,6 +939,9 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         tile=tile,
         stream=pscene.stream,
         chunk_batch=chunk_batch,
+        brute=brute,
+        s_pad=pscene.s_pad,
+        s_real=pscene.s_real,
     )
     t = out_t[0, :n]
     slot = out_prim[0, :n]
@@ -719,7 +953,8 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         # bary stays 0)
         prim = jnp.full_like(slot, -1)
     else:
-        prim = jnp.where(hit, pscene.slot_map[jnp.maximum(slot, 0)], -1)
+        smap = pscene.brute_map if brute else pscene.slot_map
+        prim = jnp.where(hit, smap[jnp.maximum(slot, 0)], -1)
     b1v = out_bary[0, :n]
     b2v = out_bary[1, :n]
     return t, prim, b1v, b2v, hit, out_tests[0, :n]

@@ -223,3 +223,45 @@ def test_chunk_batch_invariance(dae_dir):
                 ps, o, d, t_lo, t_hi, interpret=True, any_hit=True, chunk_batch=cb
             )
             np.testing.assert_array_equal(np.asarray(occ[4]), np.asarray(ref[4]))
+
+
+def test_brute_kernel_matches_tree(dae_dir):
+    """Tiny scenes auto-select the brute (no-tree) kernel for any-hit
+    queries; results must equal the cluster-tree kernel's exactly, including
+    mixed sphere scenes.  Closest-hit brute is forced for coverage (the
+    production path keeps the tree walk there)."""
+    for rel in ("pyramid.dae", "sky/CBspheres_lambertian.dae"):
+        scene, info = load_scene(str(dae_dir / rel))
+        wb = build_wide_bvh(scene.tri_p)
+        ps_b = PallasScene(wb, scene.sph_center, scene.sph_radius, scene.num_triangles)
+        ps_t = PallasScene(
+            wb, scene.sph_center, scene.sph_radius, scene.num_triangles,
+            force_brute=False,
+        )
+        assert ps_b.brute and not ps_t.brute
+        cam = Camera()
+        cam.configure(info.camera, 128, 128)
+        place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+        rng = np.random.default_rng(3)
+        n = 512
+        o = np.zeros((n, 3), np.float32)
+        d = np.zeros((n, 3), np.float32)
+        for i in range(n):
+            o[i], d[i] = oracle.generate_ray(cam, rng.uniform(), rng.uniform())
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        t_lo = jnp.full(n, cam.n_clip, jnp.float32)
+        t_hi = jnp.full(n, cam.f_clip, jnp.float32)
+        rb = intersect_pallas(ps_b, o, d, t_lo, t_hi, interpret=True, brute=True)
+        rt = intersect_pallas(ps_t, o, d, t_lo, t_hi, interpret=True)
+        assert int(np.asarray(rb[4]).sum()) > 50
+        np.testing.assert_allclose(np.asarray(rb[0]), np.asarray(rt[0]), rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(rb[1]), np.asarray(rt[1]))  # prim
+        np.testing.assert_allclose(np.asarray(rb[2]), np.asarray(rt[2]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rb[3]), np.asarray(rt[3]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(rb[4]), np.asarray(rt[4]))  # hit
+        # any-hit with shortened intervals + dead lanes (t_hi = 0)
+        t_short = jnp.where(jnp.arange(n) % 3 == 0, 0.0, t_hi * 0.5)
+        ab = intersect_pallas(ps_b, o, d, t_lo, t_short, interpret=True, any_hit=True)
+        at = intersect_pallas(ps_t, o, d, t_lo, t_short, interpret=True, any_hit=True)
+        np.testing.assert_array_equal(np.asarray(ab[4]), np.asarray(at[4]))
+        assert (np.asarray(ab[1]) == -1).all()  # any-hit prim sentinel
