@@ -216,8 +216,20 @@ def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
     if bundle.pscene is not None:
         from ..ops.intersect_pallas import intersect_pallas
 
-        t, prim, b1, b2, found, tests = intersect_pallas(bundle.pscene, o, d, t_lo, t_hi)
-        hit = finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
+        if bundle.pscene.shade:
+            # large-table scenes: winner shading rows come straight from the
+            # kernel — skips the ~2.7 ms/262k-lane finalize_hit row gather
+            t, prim, b1, b2, found, tests, shade_cm = intersect_pallas(
+                bundle.pscene, o, d, t_lo, t_hi, return_shade=True
+            )
+            hit = finalize_hit(
+                bundle.scene, o, d, t, prim, b1, b2, found, shade_cm=shade_cm
+            )
+        else:
+            t, prim, b1, b2, found, tests = intersect_pallas(
+                bundle.pscene, o, d, t_lo, t_hi
+            )
+            hit = finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
     else:
         hit, tests = intersect_rays(bundle.scene, o, d, t_lo, t_hi, return_tests=True)
     return _orient_normals(bundle, d, hit), _trace_stats(t_hi, tests)

@@ -279,8 +279,13 @@ def intersect_rays(
     return hit
 
 
-def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
-    """Raw traversal results -> Hit with shading normals + bsdf rows."""
+def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found, shade_cm=None) -> Hit:
+    """Raw traversal results -> Hit with shading normals + bsdf rows.
+
+    ``shade_cm``: optional (10, N) component-major shading rows accumulated
+    IN the Pallas kernel (ops.intersect_pallas shade mode) — skips the
+    table gather entirely for large scenes.
+    """
     num_tris = int(scene.tri_p0.shape[0])
     is_tri = (prim >= 0) & (prim < num_tris)
     tri_idx = jnp.clip(prim, 0, max(num_tris - 1, 0))
@@ -292,7 +297,10 @@ def finalize_hit(scene: SceneArrays, o, d, t, prim, b1, b2, found) -> Hit:
 
         # one lookup for normals+bsdf; one-hot matmul for small scenes (the
         # row gather cost ~0.6 ms per 262k-lane wavefront even at 138 tris)
-        rows = row_lookup(scene.tri_shade, tri_idx)  # (N, 10)
+        if shade_cm is not None:
+            rows = shade_cm.T  # (N, 10)
+        else:
+            rows = row_lookup(scene.tri_shade, tri_idx)  # (N, 10)
         n_corners = rows[:, :9].reshape(-1, 3, 3)
         b0 = 1.0 - b1 - b2
         n_tri = (

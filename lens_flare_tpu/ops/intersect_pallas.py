@@ -91,6 +91,9 @@ STREAM_THRESHOLD_BYTES = 10 * 2**20
 # docs/PERFORMANCE.md), not vector math — brute force replaces the dynamic
 # fori_loop + compaction with pure VPU work and nothing else.
 BRUTE_MAX_TRIS = 512
+# VMEM budget for triangle planes + shading planes together (in-kernel
+# shade accumulation); scenes past it fall back to the finalize_hit gather
+SHADE_THRESHOLD_BYTES = 12 * 2**20
 # child chunks Möller-Trumbore-tested per traversal iteration (see
 # _make_kernel docstring).  None = auto (tools/sweep_chunk_batch.py on v5e):
 # single-level trees amortize the child loop well (+27% primary on pyramid
@@ -185,6 +188,7 @@ def _make_kernel(
     tile: int = TILE,
     stream: bool = False,
     chunk_batch: int = 1,
+    shade: bool = False,
 ):
     """Kernel factory shared by VMEM-resident and HBM-streaming modes.
 
@@ -197,8 +201,19 @@ def _make_kernel(
     by per-chunk scalar/sequential overhead (~0.5-1.5 us/chunk vs ~120 ns of
     vector math), so CB chunks are fused into one (CB*K, TILE) test — the
     scalar loop runs ceil(n_active/CB) times instead of n_active times.
+
+    ``shade``: also accumulate the winning slot's shading row (9 corner-
+    normal components + bsdf id) from a second (10K, B_nodes) plane array
+    into a (10, TILE) output.  For tables past MAX_ONEHOT_ROWS the XLA row
+    gather in finalize_hit costs ~2.7 ms per 262k-lane wavefront (scalar-
+    core loop); the kernel already knows the winner as a one-hot (K, TILE)
+    mask, so the row select is ten cheap masked reductions on data that is
+    in VMEM anyway.  Requires cb == 1 (the only auto choice for the
+    >512-tri scenes this targets) and VMEM residency.
     """
     cb = max(1, min(chunk_batch, b2))
+    if shade:
+        assert cb == 1 and not stream and not any_hit
 
     def kernel(*refs):
         if stream:
@@ -207,6 +222,13 @@ def _make_kernel(
                 out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref,
                 top_ids_ref, top_n_ref, ch_ref, ch_ids_ref, ch_n_ref,
                 planes_buf, dma_sems,
+            ) = refs
+        elif shade:
+            (
+                rays_ref, top_ref, child_ref, tri_ref, shade_ref, sph_ref,
+                out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref,
+                out_shade_ref,
+                top_ids_ref, top_n_ref, ch_ref, ch_ids_ref, ch_n_ref,
             ) = refs
         else:
             (
@@ -226,6 +248,8 @@ def _make_kernel(
         out_prim_ref[:] = jnp.full((1, tile), -1, jnp.int32)
         out_bary_ref[:] = jnp.zeros((2, tile), jnp.float32)
         out_tests_ref[:] = jnp.zeros((1, tile), jnp.int32)
+        if shade:
+            out_shade_ref[:] = jnp.zeros((10, tile), jnp.float32)
 
         if b1 > 1:
             top_hits = _box_hits(top_ref[:], o, inv_d, t_lo, t_hi)  # (B1, TILE)
@@ -322,6 +346,8 @@ def _make_kernel(
                 lane_off = node0 - base
                 tri_block = tri_ref[:, pl.ds(base, 128)]  # (9K, 128)
                 n_lanes_blk = 128
+                if shade:
+                    shade_block = shade_ref[:, pl.ds(base, 128)]  # (10K, 128)
 
             # constant chunk->row-block expander: E[c*K+s, c] = 1.  One
             # (CB*K, CB) x (CB, TILE) matmul turns per-chunk lane masks
@@ -356,6 +382,10 @@ def _make_kernel(
                     col_parts.append(
                         jnp.sum(tri_block * onehot, axis=1, keepdims=True)  # (9K, 1)
                     )
+                    if shade:
+                        shade_col = jnp.sum(
+                            shade_block * onehot, axis=1, keepdims=True
+                        )  # (10K, 1)
                     sel_ch += ((rows_c == c_idx) & (cols_c == c) & in_rng).astype(
                         jnp.float32
                     )
@@ -475,6 +505,25 @@ def _make_kernel(
                     cur_bary = out_bary_ref[:]
                     new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
                     out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
+                    if shade:
+                        # one-hot row select of the winner's shading row:
+                        # `unique` has exactly one true per improved lane
+                        # (is_best can tie on t within a chunk; the prim max
+                        # broke the tie, so re-filter by it)
+                        unique = (is_best & (ids == prim_best)).astype(jnp.float32)
+                        comps = [
+                            jnp.sum(
+                                shade_col[j * k : (j + 1) * k] * unique,
+                                axis=0,
+                                keepdims=True,
+                            )
+                            for j in range(10)
+                        ]
+                        out_shade_ref[:] = jnp.where(
+                            improved,
+                            jnp.concatenate(comps, axis=0),
+                            out_shade_ref[:],
+                        )
                 # K triangle tests for every lane in each chunk's live mask
                 out_tests_ref[:] = out_tests_ref[:] + jnp.int32(k) * jnp.sum(
                     (masks > 0).astype(jnp.int32), axis=0, keepdims=True
@@ -688,7 +737,7 @@ class PallasScene:
     # registered as a pytree (bottom of module) so a PallasScene can ride
     # inside jit-traced bundles; the cluster shape is static aux data
 
-    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None):
+    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None, shade_rows=None):
         self.top = jnp.asarray(wide_bvh.top_boxes)
         b1, b2, k = wide_bvh.b1, wide_bvh.b2, wide_bvh.k
         n_nodes = b1 * b2
@@ -759,6 +808,33 @@ class PallasScene:
             (num_tris + np.arange(max(n_sph, 1))).astype(np.int32),
         ])
         self.slot_map = jnp.asarray(slot_map)
+
+        # In-kernel shade accumulation: for tables past MAX_ONEHOT_ROWS the
+        # finalize_hit row gather is a ~2.7 ms scalar-core loop per 262k
+        # lanes; pack the shading rows as (10K, B_nodes) planes (same layout
+        # as the triangle planes) and let the kernel select the winner's row
+        # with its one-hot best mask.  VMEM-resident, CB == 1 scenes only
+        # (exactly the multi-level >512-tri regime the gather hurts).
+        shade_bytes = 10 * k * n_nodes * 4
+        self.shade = bool(
+            shade_rows is not None
+            and not self.stream
+            and not (b1 == 1)  # single-level scenes use CB=2 + one-hot lookup
+            and num_tris > 512
+            and 9 * k * n_nodes * 4 + shade_bytes <= SHADE_THRESHOLD_BYTES
+        )
+        if self.shade:
+            srows = np.zeros((n_nodes * k, 10), np.float32)
+            valid = wide_bvh.tri_id >= 0
+            srows[valid] = np.asarray(shade_rows, np.float32)[wide_bvh.tri_id[valid]]
+            sp = np.ascontiguousarray(
+                srows.reshape(n_nodes, k, 10).transpose(2, 1, 0).reshape(10 * k, n_nodes)
+            )
+            if n_nodes < 128:
+                sp = np.pad(sp, ((0, 0), (0, 128 - n_nodes)))
+            self.shade_planes = jnp.asarray(sp)
+        else:
+            self.shade_planes = jnp.zeros((8, 128), jnp.float32)
         self._finish_init(wide_bvh, sph_center, sph_radius, num_tris)
 
     def _finish_init(self, wide_bvh, sph_center, sph_radius, num_tris):
@@ -776,20 +852,26 @@ class PallasScene:
 
 
 def _pscene_flatten(ps):
-    children = (ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute, ps.brute_map)
+    children = (
+        ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute,
+        ps.brute_map, ps.shade_planes,
+    )
     aux = (
         ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
-        ps.brute, ps.s_pad, ps.s_real,
+        ps.brute, ps.s_pad, ps.s_real, ps.shade,
     )
     return children, aux
 
 
 def _pscene_unflatten(aux, children):
     ps = object.__new__(PallasScene)
-    ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute, ps.brute_map = children
+    (
+        ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute,
+        ps.brute_map, ps.shade_planes,
+    ) = children
     (
         ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
-        ps.brute, ps.s_pad, ps.s_real,
+        ps.brute, ps.s_pad, ps.s_real, ps.shade,
     ) = aux
     return ps
 
@@ -801,14 +883,14 @@ jax.tree_util.register_pytree_node(PallasScene, _pscene_flatten, _pscene_unflatt
     jax.jit,
     static_argnames=(
         "b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile",
-        "stream", "chunk_batch", "brute", "s_pad", "s_real",
+        "stream", "chunk_batch", "brute", "s_pad", "s_real", "shade",
     ),
 )
 def _launch(
     rays, top, child, tri, sph,
     b1, b2, k, n_spheres, num_tris,
     interpret=False, any_hit=False, tile=TILE, stream=False, chunk_batch=None,
-    brute=False, s_pad=0, s_real=0,
+    brute=False, s_pad=0, s_real=0, shade=False, shade_arr=None,
 ):
     n_tiles = rays.shape[1] // tile
     n = rays.shape[1]
@@ -843,11 +925,13 @@ def _launch(
         chunk_batch = CHUNK_BATCH
     if chunk_batch is None:
         chunk_batch = _auto_chunk_batch(b1, any_hit)
+    if shade:
+        chunk_batch = 1  # the shade row select assumes one chunk per iter
     if not stream:
         assert 128 % b2 == 0, "VMEM mode assumes b2 | 128 (one block per top cluster)"
     kernel = _make_kernel(
         b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile, stream=stream,
-        chunk_batch=chunk_batch,
+        chunk_batch=chunk_batch, shade=shade,
     )
     child_spec = pl.BlockSpec(child.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     if stream:
@@ -859,21 +943,41 @@ def _launch(
     else:
         tri_spec = pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         extra_scratch = []
+    in_specs = [
+        pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((top.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        child_spec,
+        tri_spec,
+        pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    n = rays.shape[1]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+        jax.ShapeDtypeStruct((2, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+    ]
+    inputs = [rays, top, child, tri, sph]
+    if shade:
+        # shade planes ride after tri; winner rows come back as (10, N)
+        in_specs.insert(4, pl.BlockSpec(
+            shade_arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        ))
+        inputs.insert(4, shade_arr)
+        out_specs.append(
+            pl.BlockSpec((10, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((10, n), jnp.float32))
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((top.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            child_spec,
-            tri_spec,
-            pl.BlockSpec((sph.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((b1, 1), jnp.float32),  # top_ids
             pltpu.VMEM((1, 1), jnp.float32),  # top_n
@@ -883,22 +987,20 @@ def _launch(
         ]
         + extra_scratch,
     )
-    n = rays.shape[1]
-    out_t, out_prim, out_bary, out_tests = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((2, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-        ],
-    )(rays, top, child, tri, sph)
+        out_shape=out_shape,
+    )(*inputs)
+    if shade:
+        out_t, out_prim, out_bary, out_tests, out_shade = outs
+        return out_t, out_prim, out_bary, out_tests, out_shade
+    out_t, out_prim, out_bary, out_tests = outs
     return out_t, out_prim, out_bary, out_tests
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None, brute=None):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None, brute=None, return_shade=False):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit, tests).
 
     N is padded internally to a tile multiple (``tile=None`` picks the
@@ -909,11 +1011,19 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
     queries on tiny scenes (measured ~3x the tree walk; coherent
     closest-hit stays on the culled tree, which wins there).  Pass
     True/False to force either kernel (tests).
+
+    ``return_shade`` (requires ``pscene.shade``, closest-hit only): append
+    the winner's shading row, component-major (10, N) [9 corner-normal
+    comps | bsdf id], accumulated in-kernel — replaces the finalize_hit
+    row gather for large tables.
     """
     if brute is None:
         brute = pscene.brute and any_hit
     else:
         brute = bool(brute) and pscene.brute
+    shade = bool(return_shade) and pscene.shade and not any_hit and not brute
+    if return_shade and not shade:
+        raise ValueError("return_shade requires pscene.shade and closest-hit")
     if tile is None:
         tile = _auto_tile(pscene.b1, pscene.stream, any_hit, brute)
     n = o.shape[0]
@@ -923,7 +1033,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
     )  # (8, N)
     if pad:
         rays = jnp.pad(rays, ((0, 0), (0, pad)))
-    out_t, out_prim, out_bary, out_tests = _launch(
+    outs = _launch(
         rays,
         pscene.top,
         pscene.child,
@@ -942,7 +1052,13 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         brute=brute,
         s_pad=pscene.s_pad,
         s_real=pscene.s_real,
+        shade=shade,
+        shade_arr=pscene.shade_planes if shade else None,
     )
+    if shade:
+        out_t, out_prim, out_bary, out_tests, out_shade = outs
+    else:
+        out_t, out_prim, out_bary, out_tests = outs
     t = out_t[0, :n]
     slot = out_prim[0, :n]
     hit = slot >= 0
@@ -957,4 +1073,6 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         prim = jnp.where(hit, smap[jnp.maximum(slot, 0)], -1)
     b1v = out_bary[0, :n]
     b2v = out_bary[1, :n]
+    if shade:
+        return t, prim, b1v, b2v, hit, out_tests[0, :n], out_shade[:, :n]
     return t, prim, b1v, b2v, hit, out_tests[0, :n]

@@ -167,8 +167,21 @@ class Renderer:
             from .ops.intersect_pallas import PallasScene
 
             wb = build_wide_bvh(self.scene.tri_p)
+            n_t = self.scene.num_triangles
+            shade_rows = (
+                np.concatenate(
+                    [
+                        np.asarray(self.scene.tri_n, np.float32).reshape(n_t, 9),
+                        np.asarray(self.scene.tri_bsdf, np.float32).reshape(n_t, 1),
+                    ],
+                    axis=1,
+                )
+                if n_t
+                else None
+            )
             pscene = PallasScene(
-                wb, self.scene.sph_center, self.scene.sph_radius, self.scene.num_triangles
+                wb, self.scene.sph_center, self.scene.sph_radius, n_t,
+                shade_rows=shade_rows,
             )
 
         bokeh = None

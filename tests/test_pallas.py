@@ -265,3 +265,38 @@ def test_brute_kernel_matches_tree(dae_dir):
         at = intersect_pallas(ps_t, o, d, t_lo, t_short, interpret=True, any_hit=True)
         np.testing.assert_array_equal(np.asarray(ab[4]), np.asarray(at[4]))
         assert (np.asarray(ab[1]) == -1).all()  # any-hit prim sentinel
+
+
+def test_shade_mode_rows_match_table():
+    """In-kernel shade accumulation (large-table scenes) returns exactly the
+    winner's tri_shade row; the other outputs are unchanged."""
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=64)  # 8192 tris -> (16, 32, 32)
+    n_rays = 512
+    cam, o, d = _camera_rays(scene, n_rays)
+    t_lo = jnp.full(n_rays, cam.n_clip, jnp.float32)
+    t_hi = jnp.full(n_rays, cam.f_clip, jnp.float32)
+    n_t = scene.num_triangles
+    shade_rows = np.concatenate(
+        [
+            np.asarray(scene.tri_n, np.float32).reshape(n_t, 9),
+            np.asarray(scene.tri_bsdf, np.float32).reshape(n_t, 1),
+        ],
+        axis=1,
+    )
+    wb = build_wide_bvh(scene.tri_p)
+    ps = PallasScene(
+        wb, scene.sph_center, scene.sph_radius, n_t, shade_rows=shade_rows
+    )
+    assert ps.shade  # multi-level, >512 tris, fits the VMEM budget
+
+    base = intersect_pallas(ps, o, d, t_lo, t_hi, interpret=True)
+    sh = intersect_pallas(ps, o, d, t_lo, t_hi, interpret=True, return_shade=True)
+    for a, b in zip(base, sh[:6]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    shade_cm = np.asarray(sh[6])  # (10, N) component-major
+    prim = np.asarray(base[1])
+    mask = np.asarray(base[4]) & (prim >= 0) & (prim < n_t)
+    assert mask.sum() > 100
+    np.testing.assert_array_equal(shade_cm[:, mask].T, shade_rows[prim[mask]])
