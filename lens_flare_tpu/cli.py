@@ -20,7 +20,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("scene", help="COLLADA (.dae) scene file")
     p.add_argument("-s", type=int, default=1, dest="ns_aa", help="camera rays per pixel")
     p.add_argument("-l", type=int, default=1, dest="ns_area_light", help="samples per area light")
-    p.add_argument("-t", type=int, default=0, dest="num_threads", help="(accepted for parity; TPU wavefront ignores it)")
+    p.add_argument("-t", type=int, default=0, dest="num_threads", help="worker parallelism (reference: thread-pool size; here: rendering devices, same as --devices)")
     p.add_argument("-m", type=int, default=1, dest="max_ray_depth", help="maximum ray depth")
     p.add_argument("-e", dest="envmap", default=None, help="environment map (.exr)")
     p.add_argument("-b", type=float, default=0.0, dest="lens_radius", help="aperture (lens) radius")
@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
         "full sequential Snell+Fresnel lens-stack trace (BASELINE config 3)",
     )
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--devices", type=int, default=0, help="shard the render over N devices (0 = all)")
+    p.add_argument("--devices", type=int, default=0, help="shard the render over the first N devices (0 = all available)")
     p.add_argument(
         "--view",
         action="store_true",
@@ -94,6 +94,10 @@ def main(argv=None) -> int:
         camera_settings=args.cam_settings,
         lens_model=args.lens_model,
         seed=args.seed,
+        # -t is the reference's parallelism knob (its thread-pool size,
+        # main.cpp:106-108); here both flags drive the device mesh the pixel
+        # wavefront is sharded over, --devices taking precedence, 0 = all
+        devices=args.devices if args.devices > 0 else (args.num_threads or 0),
     )
     print(f"[PathTracer] Loading scene {args.scene}")
     r.load(args.scene)

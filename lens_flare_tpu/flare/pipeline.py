@@ -69,7 +69,11 @@ def find_sun(light_table, camera):
         if 0 <= ns_x <= 1 and 0 <= ns_y <= 1:
             origins.append([ns_x, ns_y])
             radiances.append(light_table.radiance[li])
-            angle = math.atan(ns_y / ns_x)  # pathtracer.cpp:50
+            # pathtracer.cpp:50 computes atan(ns_y / ns_x); in C++ a zero
+            # ns_x yields atan(+-inf) = +-pi/2, while Python raises
+            # ZeroDivisionError.  atan2 reproduces the C++ values exactly on
+            # this domain (ns_x, ns_y >= 0), including ns_x == 0 -> pi/2.
+            angle = math.atan2(ns_y, ns_x)
             axis_ray = np.array([ns_x, ns_y])
     return (
         np.asarray(origins, np.float32).reshape(-1, 2),

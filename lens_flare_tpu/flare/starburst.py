@@ -71,22 +71,57 @@ def starburst_field(
     lr_c = lr - width / 2.0
     ud_c = height / 2.0 - ud
 
-    # The per-pixel table lookup F[(y'-ud_c) mod A, (x'-lr_c) mod A] with the
-    # convertCoordinate folds x' = (x+W/2) mod W, y' = (H/2-y) mod H is a
-    # 2M-element gather at 1080p — slow on TPU.  It factorizes gather-free:
-    # tile F, dynamic-slice at the scalar offsets, then apply the folds as
-    # roll/flip of whole axes (W, H even; exactness tested vs the DFT oracle).
+    # The per-pixel table lookup is a 2M-element gather at 1080p — slow on
+    # TPU.  It factorizes gather-free.  Derivation: the per-texel exponent is
+    # u*(x'-lr_c) + v*(y'-ud_c) with x' = convertCoordinate(x) (pathtracer.
+    # cpp:933-945).  Both x' and lr_c carry the same real W/2.0 term, so the
+    # differences are ALWAYS integers, for odd sizes too:
+    #     Dx = x - lr + W*[x < ceil(W/2)]     (x-branch of the fold)
+    #     Dy = ud - y + H*[y > floor(H/2)]    (y-branch)
+    # and S[y, x] = |F[Dy mod a, Dx mod a]| (the half-integer u,v offsets
+    # contribute a constant phase killed by |.|).  Each branch is a
+    # contiguous run of pixels whose index advances by +-1, so the field
+    # assembles from four dynamic slices of the tiled table (rows flipped,
+    # because Dy decreases with y) — no per-pixel gather.  Exactness vs the
+    # brute-force DFT oracle is tested for even AND odd W/H/apW
+    # (tests/test_flare.py::test_starburst_fft_matches_bruteforce_dft).
     a = ap_width
     ty = -(-(height + a) // a)
     tx = -(-(width + a) // a)
     tiled = jnp.tile(fft_mag, (ty, tx))
-    s_x = jnp.mod(-lr_c.astype(jnp.int32), a)
-    s_y = jnp.mod(-ud_c.astype(jnp.int32), a)
-    base = jax.lax.dynamic_slice(tiled, (s_y, s_x), (height, width))
-    # x fold: S[:, x] = base[:, (x + W/2) mod W]
-    base = jnp.roll(base, -(width // 2), axis=1)
-    # y fold: S[y] = base[(H/2 - y) mod H] = roll(flip(base), 1 - H/2)
-    base = jnp.roll(jnp.flip(base, axis=0), 1 - height // 2, axis=0)
+    lr_i = lr.astype(jnp.int32)
+    ud_i = ud.astype(jnp.int32)
+    cx = (width + 1) // 2  # first x with x - W/2.0 >= 0
+    cy = height // 2 + 1  # first y with H/2.0 - y < 0
+    wt = tiled.shape[1]
+
+    def row_block(start_idx, size):
+        # rows with index (start_idx + k) mod a for k in [0, size), flipped
+        s = jnp.mod(start_idx, a)
+        zero = jnp.zeros((), s.dtype)  # match index dtypes (x64 mode)
+        return jnp.flip(jax.lax.dynamic_slice(tiled, (s, zero), (size, wt)), axis=0)
+
+    # y in [0, cy): Dy = ud - y          -> flipped run ending at ud
+    # y in [cy, H): Dy = ud - y + H      -> flipped run ending at ud + H - cy
+    rows = jnp.concatenate(
+        [row_block(ud_i - (cy - 1), cy), row_block(ud_i + 1, height - cy)]
+        if height > cy
+        else [row_block(ud_i - (cy - 1), cy)],
+        axis=0,
+    )
+
+    def col_block(start_idx, size):
+        s = jnp.mod(start_idx, a)
+        zero = jnp.zeros((), s.dtype)
+        return jax.lax.dynamic_slice(rows, (zero, s), (height, size))
+
+    # x in [0, cx): Dx = x - lr + W;  x in [cx, W): Dx = x - lr
+    base = jnp.concatenate(
+        [col_block(width - lr_i, cx), col_block(cx - lr_i, width - cx)]
+        if width > cx
+        else [col_block(width - lr_i, cx)],
+        axis=1,
+    )
     mag = base / total_value
 
     # suppression / amplification (pathtracer.cpp:976-992).  Selected-branch

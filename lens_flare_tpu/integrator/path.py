@@ -321,12 +321,14 @@ def _nee_active(bundle: SceneBundle, bsdf_id, hit_mask):
     return hit_mask & ((t == BSDF_DIFFUSE) | (t == BSDF_MICROFACET))
 
 
-def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p, n, w_out_w, bsdf_id, active=None):
+def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p, n, w_out_w, bsdf_id, active=None, counted=None):
     """NEE estimate at a batch of shading points (pathtracer.cpp:142-213).
 
     hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,); u_tape: (N, 2S)
     uniforms; active: optional (N,) mask of lanes whose estimate is wanted
-    (see _nee_active). Returns ((N, 3) radiance, trace stats).
+    (see _nee_active); counted: optional (N,) mask of real (non-padding)
+    lanes — padding lanes neither trace nor enter the skipped-ray counter.
+    Returns ((N, 3) radiance, trace stats).
 
     All NEE slots (one per delta light + ns_area_light per area light) are
     traced as ONE widened shadow-ray wavefront of S*N rays so the BVH
@@ -337,7 +339,8 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
 
     if settings.direct_hemisphere_sample:
         return _direct_hemisphere(
-            bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id, active=active
+            bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id,
+            active=active, counted=counted,
         )
 
     if len(settings.light_slots) == 0:
@@ -387,6 +390,8 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     # point) get t_hi = 0 so they never activate clusters in the packet
     # kernel and whole-dead tiles exit the any-hit loop immediately
     live = facing & (ls.pdf > 0)
+    if counted is not None:
+        live = live & jnp.broadcast_to(counted, (n_slots, n_pts)).reshape(-1)
     skipped = 0.0
     if active is not None:
         would_trace = live
@@ -419,7 +424,7 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     )
 
 
-def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id, active=None):
+def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id, active=None, counted=None):
     """Uniform-hemisphere direct estimator (pathtracer.cpp:86-140)."""
     num_samples = settings.total_light_samples  # lights * ns_area_light analogue
     p_w = 1.0 / (2.0 * jnp.pi)
@@ -436,10 +441,21 @@ def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id, act
     pts = jnp.broadcast_to(hit_p, (num_samples, n_pts, 3)).reshape(-1, 3)
     wi_world = local_to_world(o2w_b, wi)
     skipped = 0.0
+    real = (
+        jnp.broadcast_to(counted, (num_samples, n_pts)).reshape(-1)
+        if counted is not None
+        else None
+    )
     if active is not None:
         live = jnp.broadcast_to(active, (num_samples, n_pts)).reshape(-1)
+        if real is not None:
+            live = live & real
+            skipped = jnp.sum((real & jnp.logical_not(live)).astype(jnp.float32))
+        else:
+            skipped = jnp.sum(jnp.logical_not(live).astype(jnp.float32))
         t_hi = jnp.where(live, 1e30, 0.0)
-        skipped = jnp.sum(jnp.logical_not(live).astype(jnp.float32))
+    elif real is not None:
+        t_hi = jnp.where(real, 1e30, 0.0)
     else:
         t_hi = jnp.full(num_samples * n_pts, 1e30)
     hit, stats = trace_closest(
@@ -460,11 +476,14 @@ def _direct_hemisphere(bundle, settings, u_tape, hit_p, o2w, w_out, bsdf_id, act
     return contrib.reshape(num_samples, n_pts, 3).sum(axis=0) / num_samples, stats
 
 
-def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, keys, px, py, width, height):
+def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, keys, px, py, width, height, valid=None):
     """One radiance sample per pixel lane (est_radiance_global_illumination).
 
     px, py: (N,) integer pixel coords; keys: (N,2) per-lane RNG keys.
-    Returns ((N, 3) radiance, stats [rays, isect tests]).
+    ``valid``: optional (N,) bool — False lanes are shape padding; their
+    primary ray gets t_hi = 0, so the kernels skip them AND the measured
+    ray/isect counters exclude them (their radiance output is garbage the
+    caller discards).  Returns ((N, 3) radiance, stats [rays, isect tests]).
     """
     n_lanes = px.shape[0]
     s = max(settings.total_light_samples, 1)
@@ -492,6 +511,8 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
 
     t_lo = jnp.full(n_lanes, cam.n_clip)
     t_hi = jnp.full(n_lanes, cam.f_clip)
+    if valid is not None:
+        t_hi = jnp.where(valid, t_hi, 0.0)  # padding lanes trace nothing
     hit, stats = trace_closest(bundle, o, d, t_lo, t_hi)
 
     # miss -> environment lookup (pathtracer.cpp:290-292)
@@ -506,13 +527,13 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     # camera-vertex direct
     Ld, st = direct_lighting(
         bundle, settings, tape[:, 4 : 4 + 2 * s], hit_p, hit.n, -d, hit.bsdf,
-        active=_nee_active(bundle, hit.bsdf, hit.hit),
+        active=_nee_active(bundle, hit.bsdf, hit.hit), counted=valid,
     )
     L = L + Ld
     stats = stats + st
 
     if settings.indirect and settings.max_ray_depth > 1:
-        Li, st = _indirect(bundle, settings, tape[:, 4 + 2 * s :], o, d, hit)
+        Li, st = _indirect(bundle, settings, tape[:, 4 + 2 * s :], o, d, hit, valid=valid)
         L = L + Li
         stats = stats + st
 
@@ -520,7 +541,7 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     return L, stats
 
 
-def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
+def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit, valid=None):
     """Iterative form of at_least_one_bounce_radiance (pathtracer.cpp:234-280).
 
     Returns only the indirect part (bounces 2+); the caller already added the
@@ -594,7 +615,7 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit):
         nxt_p = hit_p + wi_world * nxt.t[:, None]
         Ld, st = direct_lighting(
             bundle, settings, u_b[:, 4:], nxt_p, nxt.n, -wi_world, nxt.bsdf,
-            active=_nee_active(bundle, nxt.bsdf, cont),
+            active=_nee_active(bundle, nxt.bsdf, cont), counted=valid,
         )
         stats = stats + st
         L = L + jnp.where(cont[:, None], throughput * Ld, 0.0)
@@ -622,6 +643,7 @@ def render_batch(
     key,
     s_offset,
     n_samples: int,
+    valid=None,
 ):
     """Unconditionally trace ``n_samples`` samples for every lane.
 
@@ -642,7 +664,9 @@ def render_batch(
     def sample_body(carry, j):
         film, s1, s2, stats = carry
         keys = _fold(base_keys, (s_offset + j).astype(jnp.uint32))
-        rad, st = radiance_sample(bundle, settings, cam, keys, px, py, width, height)
+        rad, st = radiance_sample(
+            bundle, settings, cam, keys, px, py, width, height, valid=valid
+        )
         illum = 0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
         return (film + rad, s1 + illum, s2 + illum * illum, stats + st), None
 
@@ -651,11 +675,13 @@ def render_batch(
     return film, s1, s2, stats
 
 
-def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, px, py, width, height, key):
+def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraParams, px, py, width, height, key, valid=None):
     """Adaptive-sampled radiance for a batch of pixels (raytrace_pixel).
 
-    px, py: (P,) pixel integer coords.  Returns (radiance (P,3), counts (P,),
-    stats [rays traced, isect tests] — measured on-device, psum-able).
+    px, py: (P,) pixel integer coords.  ``valid``: optional (P,) bool marking
+    real lanes (False = shape padding; excluded from work and counters).
+    Returns (radiance (P,3), counts (P,), stats [rays traced, isect tests] —
+    measured on-device, psum-able).
     """
     n_px = px.shape[0]
     pixel_ids = (py * width + px).astype(jnp.uint32)
@@ -666,7 +692,9 @@ def render_wavefront(bundle: SceneBundle, settings: RenderSettings, cam: CameraP
 
     def one_sample(s_idx, converged):
         keys = _fold(base_keys, jnp.uint32(s_idx))
-        rad, stats = radiance_sample(bundle, settings, cam, keys, px, py, width, height)
+        rad, stats = radiance_sample(
+            bundle, settings, cam, keys, px, py, width, height, valid=valid
+        )
         use = jnp.logical_not(converged) & (s_idx < settings.ns_aa)
         return jnp.where(use[:, None], rad, 0.0), use, stats
 

@@ -563,7 +563,15 @@ def _make_kernel(
 
 
 def _sphere_pass(sph_ref, o, d, t_lo, t_hi, out_t_ref, out_prim_ref, out_tests_ref, n_spheres, base_slot):
-    """Brute-force sphere tests after the triangle walk (sphere.cpp:11-111)."""
+    """Brute-force sphere tests after the triangle walk (sphere.cpp:11-111).
+
+    INVARIANT (shade mode): when a sphere improves out_t/out_prim, the
+    kernel's out_shade rows still hold the previously-best TRIANGLE's data —
+    this pass deliberately does not touch them.  Every consumer of shade_cm
+    must therefore mask by ``prim < num_tris`` before reading shade rows
+    (finalize_hit does, via its is_tri gate); a consumer that reads shade
+    rows for a sphere winner would see stale triangle data.
+    """
     sph = sph_ref[:]
     for s_idx in range(n_spheres):
         c = [sph[s_idx, i] for i in range(3)]
@@ -627,7 +635,11 @@ def _make_brute_kernel(s_pad: int, s_real: int, n_spheres: int, any_hit: bool, t
         @pl.when(jnp.any(live))
         def _():
             for c0 in range(0, s_pad, sb):
-                tri = tri_ref[c0 : c0 + sb, :]  # (SB, 9): [p0 | e1 | e2]
+                # explicit partial-block size: the final block of a non-
+                # multiple s_pad (e.g. 144 with sb=64) is sb_c < sb rows, and
+                # every shape below (tri slice, iota ids) must agree on it
+                sb_c = min(sb, s_pad - c0)
+                tri = tri_ref[c0 : c0 + sb_c, :]  # (SB_c, 9): [p0 | e1 | e2]
                 p0 = [tri[:, i : i + 1] for i in range(3)]  # (SB, 1)
                 e1 = [tri[:, 3 + i : 4 + i] for i in range(3)]
                 e2 = [tri[:, 6 + i : 7 + i] for i in range(3)]
@@ -688,9 +700,7 @@ def _make_brute_kernel(s_pad: int, s_real: int, n_spheres: int, any_hit: bool, t
                     t_masked = jnp.where(valid, tt, INF)
                     t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
                     improved = t_best_k < best_t
-                    ids = c0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (min(sb, s_pad - c0), 1), 0
-                    )
+                    ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (sb_c, 1), 0)
                     is_best = valid & (t_masked == t_best_k)
                     prim_best = jnp.max(
                         jnp.where(is_best, ids, jnp.int32(-1)), axis=0, keepdims=True
@@ -708,7 +718,12 @@ def _make_brute_kernel(s_pad: int, s_real: int, n_spheres: int, any_hit: bool, t
                         jnp.concatenate([b1_best, b2_best], axis=0),
                         out_bary_ref[:],
                     )
-            # every live lane tests all real triangles (bvh.h:136 parity)
+            # every live lane tests all real triangles (bvh.h:136 parity).
+            # COUNTING BASIS differs from the tree kernels: any-hit here
+            # charges the full s_real per live lane (there is no early exit
+            # to save work), while the tree any-hit kernel early-exits and
+            # charges per visited chunk — isects/ray is therefore not
+            # comparable across kernel families (see docs/PERFORMANCE.md).
             out_tests_ref[:] = jnp.int32(s_real) * live.astype(jnp.int32)
             _sphere_pass(
                 sph_ref, o, d, t_lo, t_hi, out_t_ref, out_prim_ref, out_tests_ref,

@@ -81,6 +81,13 @@ class Renderer:
     tile_pixels: int = 1 << 16  # wavefront width per launch
     seed: int = 0
     use_pallas: bool | None = None  # None = auto (TPU + scene fits VMEM)
+    # rendering devices: 1 = single device, 0 = all available, N = first N.
+    # >1 shards every pixel wavefront over a 1-D jax.sharding.Mesh with the
+    # scene replicated (the product wiring of parallel/: the reference's -t
+    # actually drove its worker pool, main.cpp:106-108).  RNG is a pure
+    # function of (pixel id, sample index), so the sharded render is
+    # bit-identical to the single-device one (tests/test_sharding.py).
+    devices: int = 1
 
     # populated by set_scene/set_camera
     scene: FlatScene = None
@@ -200,6 +207,16 @@ class Renderer:
             bokeh=bokeh,
         )
         self._light_table = lt  # kept for update_settings()
+        self._mesh = None
+        n_dev = len(jax.devices()) if self.devices == 0 else min(self.devices, len(jax.devices()))
+        if n_dev > 1:
+            from .parallel.mesh import make_mesh, replicate
+
+            self._mesh = make_mesh(n_dev)
+            # replicate the scene once per build, not per tile launch
+            self.bundle = jax.device_put(self.bundle, replicate(self._mesh))
+            # every wavefront launch must divide evenly across the mesh
+            self.tile_pixels = -(-self.tile_pixels // n_dev) * n_dev
         self.update_settings()
 
     def update_settings(self) -> None:
@@ -225,6 +242,14 @@ class Renderer:
 
     # ------------------------------------------------------------------
 
+    def _shard_input(self, arr):
+        """Place a wavefront array on the mesh batch axis (no-op single-device)."""
+        if self._mesh is None:
+            return arr
+        from .parallel.mesh import shard_batch
+
+        return jax.device_put(arr, shard_batch(self._mesh))
+
     def render(self, cell=None, progress: bool = True, checkpoint_path=None):
         """Render the film (or a subwindow ``cell=(x, y, dx, dy)``).
 
@@ -246,9 +271,14 @@ class Renderer:
 
         # module-level jit (settings/size static): the trace + compile is
         # cached across render() calls and Renderer instances — a fresh
-        # jax.jit(lambda ...) per call re-traced the whole program each time
-        render_fn = lambda px, py: _render_jit(
-            self.bundle, self.settings, cam_params, px, py, w, h, key
+        # jax.jit(lambda ...) per call re-traced the whole program each time.
+        # With a mesh active, wavefront inputs are sharded over the batch
+        # axis (scene already replicated in _build): GSPMD turns the stats
+        # sum into a psum and each device traces its own pixel slice.
+        shard_in = self._shard_input
+        render_fn = lambda px, py, valid: _render_jit(
+            self.bundle, self.settings, cam_params,
+            shard_in(px), shard_in(py), w, h, key, shard_in(valid),
         )
 
         ys, xs = np.mgrid[y0 : y0 + dy, x0 : x0 + dx]
@@ -280,7 +310,13 @@ class Renderer:
         start_tile = 0
         if checkpoint_path is not None and Path(checkpoint_path).exists():
             ck = np.load(checkpoint_path)
-            if int(ck["n_tiles"]) == n_tiles and ck["film"].shape == film.shape:
+            # "next_tile" marks the tiled/completed format; adaptive renders
+            # persist per-STAGE state instead (resumed in _adaptive_render)
+            if (
+                "next_tile" in ck
+                and int(ck["n_tiles"]) == n_tiles
+                and ck["film"].shape == film.shape
+            ):
                 film = ck["film"]
                 counts = ck["counts"]
                 start_tile = int(ck["next_tile"])
@@ -294,9 +330,12 @@ class Renderer:
         adaptive = (
             self.ns_aa > self.settings.samples_per_batch and self.max_tolerance > 0
         )
+        n_dev = 1 if self._mesh is None else self._mesh.devices.size
         if adaptive:
             if start_tile < n_tiles:  # not already complete from a checkpoint
-                rad, cnt, st = self._adaptive_render(cam_params, key, xs, ys, progress)
+                rad, cnt, st = self._adaptive_render(
+                    cam_params, key, xs, ys, progress, checkpoint_path=checkpoint_path
+                )
                 total_stats += st
                 film[ys, xs] = rad
                 counts[ys, xs] = cnt
@@ -307,16 +346,22 @@ class Renderer:
                 sl = slice(ti * tile, min((ti + 1) * tile, n_px))
                 px = xs[sl]
                 py = ys[sl]
-                pad = 0
-                if len(px) < tile and n_tiles > 1:
-                    pad = tile - len(px)  # pad to avoid recompilation
+                m = len(px)
+                # pad to the common tile shape (avoids recompilation) or, for
+                # the lone-tile case, to a device-divisible length; padded
+                # lanes carry valid=False so they trace nothing and never
+                # enter the measured ray/isect counters
+                need = tile if n_tiles > 1 else -(-m // n_dev) * n_dev
+                pad = need - m
+                if pad:
                     px = np.pad(px, (0, pad), mode="edge")
                     py = np.pad(py, (0, pad), mode="edge")
-                rad, cnt, st = render_fn(jnp.asarray(px), jnp.asarray(py))
-                if pad:
-                    rad, cnt = rad[: len(xs[sl])], cnt[: len(xs[sl])]
-                rad = np.asarray(rad)
-                cnt = np.asarray(cnt)
+                valid = np.arange(need) < m
+                rad, cnt, st = render_fn(
+                    jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid)
+                )
+                rad = np.asarray(rad)[:m]
+                cnt = np.asarray(cnt)[:m]
                 total_stats += np.asarray(st, np.float64)
                 film[ys[sl], xs[sl]] = rad
                 counts[ys[sl], xs[sl]] = cnt
@@ -343,7 +388,7 @@ class Renderer:
             )
         return film, counts
 
-    def _adaptive_render(self, cam_params, key, xs, ys, progress):
+    def _adaptive_render(self, cam_params, key, xs, ys, progress, checkpoint_path=None):
         """Adaptive sampling with host re-packing (pathtracer.cpp:862-868).
 
         Stage-major pipelined: within a stage every tile's batch is
@@ -355,6 +400,10 @@ class Renderer:
         time instead of merely masking statistics.  RNG is a pure function
         of (pixel id, sample index), so compaction reproduces the lockstep
         estimator sample-for-sample.
+
+        ``checkpoint_path``: accumulators + the active set are persisted at
+        every stage boundary, so a crash at 90% of a long adaptive render
+        resumes from the last completed stage instead of losing everything.
         """
         spb = min(self.samples_per_batch, self.ns_aa)
         # geometric batch schedule (spb, spb, 2spb, 4spb, ...): each stage
@@ -380,42 +429,71 @@ class Renderer:
         stats = np.zeros(3, np.float64)
         active = np.arange(n)
         tile = self.tile_pixels
+        n_dev = 1 if self._mesh is None else self._mesh.devices.size
+        shard_in = self._shard_input
 
+        start_stage = 0
         s_done = 0
-        for ns in schedule:
+        if checkpoint_path is not None and Path(checkpoint_path).exists():
+            ck = np.load(checkpoint_path)
+            if (
+                "stage" in ck
+                and int(ck["n"]) == n
+                and int(ck["ns_aa"]) == self.ns_aa
+            ):
+                film, s1, s2 = ck["film"], ck["s1"], ck["s2"]
+                count, active = ck["count"], ck["active"]
+                stats = ck["stats"]
+                start_stage = int(ck["stage"])
+                s_done = int(ck["s_done"])
+                if progress:
+                    print(
+                        f"[PathTracer] resuming adaptive render at stage "
+                        f"{start_stage}/{len(schedule)} ({len(active)} px active)"
+                    )
+
+        for si, ns in enumerate(schedule):
+            if si < start_stage:
+                continue
+            if len(active) == 0:
+                break
             # dispatch every chunk of the active set before reading any
             # result back; the trailing chunk is padded to a coarse grid of
             # shapes (few enough to bound compiles, fine enough not to
-            # waste lanes)
+            # waste lanes).  Padded lanes are valid=False: no work, no
+            # counter contribution.
             grain = 8192 if tile > 16384 else 256
+            grain = -(-grain // n_dev) * n_dev
             launches = []
             for i in range(0, len(active), tile):
                 idx = active[i : i + tile]
                 m = len(idx)
-                bucket = max(min(-(-m // grain) * grain, tile), m)
+                bucket = max(min(-(-m // grain) * grain, tile), -(-m // n_dev) * n_dev)
                 pa = xs[idx]
                 ya = ys[idx]
                 if bucket > m:
                     pa = np.pad(pa, (0, bucket - m), mode="edge")
                     ya = np.pad(ya, (0, bucket - m), mode="edge")
+                valid = np.arange(bucket) < m
                 out = _batch_jit(
                     self.bundle,
                     self.settings,
                     cam_params,
-                    jnp.asarray(pa),
-                    jnp.asarray(ya),
+                    shard_in(jnp.asarray(pa)),
+                    shard_in(jnp.asarray(ya)),
                     self.width,
                     self.height,
                     key,
                     jnp.uint32(s_done),
                     ns,
+                    shard_in(jnp.asarray(valid)),
                 )
                 launches.append((idx, out))
             s_done += ns
 
             for idx, (f, a1, a2, st) in launches:
                 m = len(idx)
-                stats += np.asarray(st, np.float64)  # padded lanes do real work
+                stats += np.asarray(st, np.float64)
                 film[idx] += np.asarray(f)[:m]
                 s1[idx] += np.asarray(a1, np.float64)[:m]
                 s2[idx] += np.asarray(a2, np.float64)[:m]
@@ -426,6 +504,13 @@ class Renderer:
             var = np.maximum(s2[active] - s1[active] ** 2 / nc, 0.0) / (nc - 1.0)
             ci = 1.96 * np.sqrt(var / nc)
             active = active[ci > self.max_tolerance * s1[active] / nc]
+            if checkpoint_path is not None:
+                np.savez(
+                    checkpoint_path,
+                    stage=si + 1, s_done=s_done, n=n, ns_aa=self.ns_aa,
+                    film=film, s1=s1, s2=s2, count=count, active=active,
+                    stats=stats,
+                )
             if progress:
                 print(
                     f"\r[PathTracer] Rendering... {100 * s_done // self.ns_aa}%"
@@ -433,8 +518,6 @@ class Renderer:
                     end="",
                     flush=True,
                 )
-            if len(active) == 0:
-                break
 
         rad = film / np.maximum(count, 1)[:, None]
         return rad, count, stats

@@ -22,11 +22,19 @@ def _toy_aperture(n=12, seed=0):
     return a
 
 
-def test_starburst_fft_matches_bruteforce_dft():
+@pytest.mark.parametrize(
+    "n_ap,W,H",
+    [
+        (12, 16, 16),  # all even (the round-3 fast path)
+        (11, 15, 13),  # all odd: convertCoordinate's real length/2.0 branch
+        (12, 17, 16),  # odd width only
+        (11, 16, 15),  # odd height, odd aperture
+    ],
+)
+def test_starburst_fft_matches_bruteforce_dft(n_ap, W, H):
     """The FFT formulation == the reference's per-pixel DFT, exhaustively."""
-    ap = _toy_aperture(12)
+    ap = _toy_aperture(n_ap)
     tex = ApertureTexture.from_array(ap)
-    W = H = 16
     fo = (0.42, 0.61)
     radiances = [np.array([2.0, 1.0, 0.5])]
 
@@ -131,3 +139,43 @@ def test_prescription_is_differentiable():
     assert np.isfinite(np.asarray(g.iors)).all()
     assert np.abs(np.asarray(g.curvatures)).sum() > 0
     assert np.abs(np.asarray(g.spacings)).sum() > 0
+
+
+def test_find_sun_on_vertical_axis():
+    """A sun projecting to ns_x == 0 must give angle pi/2, not raise.
+
+    The reference computes atan(ns_y/ns_x) (pathtracer.cpp:50); C++ yields
+    atan(+inf) = pi/2 for ns_x == 0 where Python's ``/`` raises — the atan2
+    form reproduces the C++ values on the whole [0,1]^2 domain.
+    """
+    import math
+
+    from lens_flare_tpu.flare.pipeline import find_sun
+    from lens_flare_tpu.scene.build import LT_DIRECTIONAL, LightTable
+
+    class FakeCamera:
+        def __init__(self, ns):
+            self.ns = ns
+
+        def analyze_world_coord(self, p):
+            return self.ns
+
+    def table():
+        return LightTable(
+            light_type=np.array([LT_DIRECTIONAL], np.int32),
+            radiance=np.ones((1, 3), np.float32),
+            position=np.zeros((1, 3), np.float32),
+            direction=np.zeros((1, 3), np.float32),
+            dim_x=np.zeros((1, 3), np.float32),
+            dim_y=np.zeros((1, 3), np.float32),
+            area=np.zeros(1, np.float32),
+            is_delta=np.array([True]),
+        )
+
+    _, _, axis, angle = find_sun(table(), FakeCamera((0.0, 0.7)))
+    assert angle == pytest.approx(math.pi / 2)
+    np.testing.assert_allclose(axis, [0.0, 0.7])
+
+    # in-domain values still match atan(y/x)
+    _, _, _, angle = find_sun(table(), FakeCamera((0.5, 0.25)))
+    assert angle == pytest.approx(math.atan(0.25 / 0.5))
