@@ -1,11 +1,26 @@
-"""Benchmark: Mrays/s on one chip for the flagship path-trace + lens-flare config.
+"""Benchmark: honest per-chip throughput + frame times for the flagship configs.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Two workloads, both on one chip:
+
+1. Flagship series metric (``value``): pyramid 512^2 @ 8spp depth-4 path
+   trace.  Since round 4 the headline is the HONEST traced-ray rate — lanes
+   the estimator provably-zero-skips are reported separately
+   (``zero_rays_skipped`` / ``mrays_workload_equiv_per_s``) and are NOT in
+   ``value`` or ``vs_baseline``.  Rounds 1-3 counted traced+skipped; use
+   ``mrays_workload_equiv_per_s`` to compare against those artifacts.
+2. Dragon-class scene (``terrain_1080p``): the 524k-triangle procedural
+   terrain (stand-in for the stripped dragon.dae, scene/procedural.py) at
+   1920x1080, depth-4 path trace + full lens-flare composite (ghosts +
+   FFT starburst + falloff) — the BASELINE "1080p lens-flare frame time"
+   configuration, measured as whole frames.
 
 The reference publishes no numbers (BASELINE.md): its only perf machinery is
 the per-run Mrays/s printout (raytraced_renderer.cpp:707-709).  vs_baseline
 is therefore the ratio against a measured stand-in for the reference's
-single-machine CPU throughput (BASELINE_CPU_MRAYS below).
+single-machine CPU throughput (BASELINE_CPU_MRAYS below), computed on
+traced rays only.
 """
 
 import json
@@ -66,9 +81,21 @@ def _probe_device(timeout_s: float = 240.0, attempts: int = 3) -> str:
     return "cpu"
 
 
-def main():
-    platform = _probe_device()
+def _blocked_order(width, height, bs=32):
+    """Pixel order as Renderer.render feeds the wavefront (32x32 tiles)."""
+    ys, xs = np.mgrid[0:height, 0:width]
+    xs, ys = xs.ravel(), ys.ravel()
+    order = np.argsort(
+        ((ys // bs) * ((width + bs - 1) // bs) + (xs // bs)) * bs * bs
+        + (ys % bs) * bs
+        + (xs % bs),
+        kind="stable",
+    )
+    return xs[order], ys[order]
 
+
+def bench_pyramid(platform):
+    """Flagship series config: pyramid path trace, N runs in one jitted map."""
     import jax
     import jax.numpy as jnp
 
@@ -80,31 +107,16 @@ def main():
     else:
         width, height, spp, depth = 512, 512, 8, 4
     r = Renderer(
-        width=width,
-        height=height,
-        ns_aa=spp,
-        max_ray_depth=depth,
-        ns_area_light=1,
-        indirect=True,
-        seed=0,
+        width=width, height=height, ns_aa=spp, max_ray_depth=depth,
+        ns_area_light=1, indirect=True, seed=0,
     )
     r.load("/root/reference/dae/pyramid.dae")
 
     cam = r.camera.params()
     key = jax.random.PRNGKey(0)
-    ys, xs = np.mgrid[0:height, 0:width]
-    xs, ys = xs.ravel(), ys.ravel()
-    # blocked 32x32 pixel order, exactly as Renderer.render() feeds the
-    # wavefront (coherent ray tiles for the packet kernel)
-    bs = 32
-    order = np.argsort(
-        ((ys // bs) * ((width + bs - 1) // bs) + (xs // bs)) * bs * bs
-        + (ys % bs) * bs
-        + (xs % bs),
-        kind="stable",
-    )
-    px = jnp.asarray(xs[order])
-    py = jnp.asarray(ys[order])
+    xs, ys = _blocked_order(width, height)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
 
     # each timed run gets a fresh key: distinct inputs, so the timing can't
     # hide behind one warmed value.  The runs execute back to back inside
@@ -116,7 +128,7 @@ def main():
     # NOTE jax.block_until_ready does NOT synchronize through the tunnel
     # (docs/PERFORMANCE.md "Timing methodology") — only np.asarray waits.
     runs = 5
-    keys = jax.numpy.stack([jax.random.fold_in(key, i) for i in range(runs)])
+    keys = jnp.stack([jax.random.fold_in(key, i) for i in range(runs)])
 
     def one_run(k):
         rad, cnt, st = render_wavefront(
@@ -132,51 +144,149 @@ def main():
     stats = np.asarray(stats)  # (runs, 3); forces completion of every run
     dt = (time.perf_counter() - t0) / runs
     assert np.isfinite(np.asarray(rad_sums)).all()
-    total_rays = float(stats[:, 0].sum())
-    total_isects = float(stats[:, 1].sum())
-    total_skipped = float(stats[:, 2].sum())
+    return {
+        "width": width, "height": height, "spp": spp, "depth": depth,
+        "frame_s": dt,
+        "rays_traced": float(stats[:, 0].sum()) / runs,
+        "isects": float(stats[:, 1].sum()) / runs,
+        "zero_skipped": float(stats[:, 2].sum()) / runs,
+    }
 
-    # MEASURED ray count: live wavefront lanes summed on device inside the
-    # kernels (raytraced_renderer.cpp:707-709 parity, not an RR model).
-    # Since round 3 the estimator skips NEE shadow rays whose contribution
-    # is provably zero (miss / delta-BSDF / emitter shading points); those
-    # skipped lanes are counted separately on device.  `value` keeps the
-    # rounds-1/2 accounting (traced + skipped) so the series stays
-    # comparable: it is the rate at which the chip delivers the SAME
-    # estimator workload, and the wall-clock per frame (frame_s) also
-    # improved when the skipping landed (0.180 -> 0.159 s).
-    total_rays /= runs
-    total_skipped /= runs
-    isects_per_ray = (total_isects / runs) / max(total_rays, 1.0)
-    mrays_equiv = (total_rays + total_skipped) / dt / 1e6
-    mrays_traced = total_rays / dt / 1e6
 
-    metric = (
-        "pyramid_512_pathtrace_depth4_mrays_per_s_per_chip"
-        if platform != "cpu"
-        else "pyramid_128_pathtrace_mrays_per_s_CPU_FALLBACK_tpu_unreachable"
+def bench_terrain_1080p(width=1920, height=1080, n_quads=512, spp=1, depth=4, runs=3):
+    """Dragon-class full frame: 524k-tri terrain, 1080p, path trace + flare.
+
+    Whole-frame timing: tiled wavefront render (lax.scan over 64k-lane
+    tiles inside one jit, exactly the Renderer's tiling) + film scatter +
+    the complete flare composite, with the per-frame stats riding along.
+    Default n_quads=512 -> 2 * 512^2 = 524,288 triangles.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lens_flare_tpu.flare.pipeline import FlarePipeline
+    from lens_flare_tpu.integrator.path import render_wavefront
+    from lens_flare_tpu.renderer import Renderer
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+    r = Renderer(
+        width=width, height=height, ns_aa=spp, max_ray_depth=depth,
+        ns_area_light=1, indirect=True, seed=0,
+        aperture_path="/root/reference/final_apertures/pent4_13.png",
+        ghost_aperture_path="/root/reference/apertures/pentsmall.png",
+        flare_intensity=1.5, flare_radius=30.0,
     )
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(mrays_equiv, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays_equiv / BASELINE_CPU_MRAYS, 2),
-                "rays_traced": int(total_rays),
-                "zero_rays_skipped": int(total_skipped),
-                "mrays_traced_per_s": round(mrays_traced, 3),
-                "frame_s": round(dt, 4),
-                "isects_per_ray": round(isects_per_ray, 2),
-                "note": (
-                    "value keeps the rounds-1/2 workload accounting (traced + "
-                    "skipped provably-zero NEE lanes per second) for series "
-                    "comparability; mrays_traced_per_s is the honest traced "
-                    "rate and frame_s the wall-clock per 512^2@8spp frame"
-                ),
-            }
+    r.load_flat_scene(make_terrain_scene(n_quads))
+    pipeline = FlarePipeline.from_renderer(r)
+    assert pipeline is not None, "terrain sun must project on-screen"
+    # pre-bake the aperture FFT cache outside the traced frame
+    np.asarray(pipeline.starburst())
+
+    cam = r.camera.params()
+    xs, ys = _blocked_order(width, height)
+    n_px = len(xs)
+    tile = r.tile_pixels
+    n_tiles = -(-n_px // tile)
+    pad = n_tiles * tile - n_px
+    valid = np.arange(n_tiles * tile) < n_px
+    xs_p = np.pad(xs, (0, pad), mode="edge")
+    ys_p = np.pad(ys, (0, pad), mode="edge")
+    pxT = jnp.asarray(xs_p.reshape(n_tiles, tile))
+    pyT = jnp.asarray(ys_p.reshape(n_tiles, tile))
+    vT = jnp.asarray(valid.reshape(n_tiles, tile))
+    # scatter indices exclude the padded tail: padded lanes are edge-mode
+    # duplicates whose (garbage, valid=False) radiance must not overwrite
+    # the real pixel they duplicate
+    px_all = jnp.asarray(xs_p[:n_px])
+    py_all = jnp.asarray(ys_p[:n_px])
+
+    def one_frame(k):
+        def tile_fn(c, xs_):
+            px_t, py_t, v_t = xs_
+            rad, cnt, st = render_wavefront(
+                r.bundle, r.settings, cam, px_t, py_t, width, height, k, v_t
+            )
+            return c + st, rad
+
+        stats, rads = jax.lax.scan(tile_fn, jnp.zeros(3), (pxT, pyT, vT))
+        film = jnp.zeros((height, width, 3)).at[py_all, px_all].set(
+            rads.reshape(-1, 3)[:n_px]
         )
+        hdr = pipeline.composite(film)
+        return hdr.sum(), stats
+
+    key = jax.random.PRNGKey(0)
+    keys = jnp.stack([jax.random.fold_in(key, i) for i in range(runs)])
+    loop = jax.jit(lambda ks: jax.lax.map(one_frame, ks))
+    np.asarray(loop(keys)[1])  # compile + warmup
+
+    t0 = time.perf_counter()
+    hdr_sums, stats = loop(keys)
+    stats = np.asarray(stats)  # (runs, 3)
+    dt = (time.perf_counter() - t0) / runs
+    assert np.isfinite(np.asarray(hdr_sums)).all()
+
+    # flare-composite-only time (same one-jit k-difference style: the
+    # composite is small, so time it as its own jitted loop)
+    film0 = jnp.zeros((height, width, 3))
+    comp = jax.jit(
+        lambda f: jax.lax.map(lambda s: pipeline.composite(f + s).sum(), jnp.arange(8.0))
     )
+    np.asarray(comp(film0))
+    t0 = time.perf_counter()
+    np.asarray(comp(film0))
+    comp_dt = (time.perf_counter() - t0) / 8
+
+    rays = float(stats[:, 0].sum()) / runs
+    return {
+        "tris": 2 * n_quads * n_quads, "width": width, "height": height,
+        "spp": spp, "depth": depth,
+        "frame_s": round(dt, 4),
+        "mrays_traced_per_s": round(rays / dt / 1e6, 3),
+        "rays_traced": int(rays),
+        "isects_per_ray": round(float(stats[:, 1].sum()) / float(max(stats[:, 0].sum(), 1.0)), 2),
+        "flare_composite_s": round(comp_dt, 4),
+    }
+
+
+def main():
+    platform = _probe_device()
+
+    p = bench_pyramid(platform)
+    dt = p["frame_s"]
+    mrays_traced = p["rays_traced"] / dt / 1e6
+    mrays_equiv = (p["rays_traced"] + p["zero_skipped"]) / dt / 1e6
+
+    out = {
+        "metric": (
+            "pyramid_512_pathtrace_depth4_mrays_traced_per_s_per_chip"
+            if platform != "cpu"
+            else "pyramid_128_pathtrace_mrays_per_s_CPU_FALLBACK_tpu_unreachable"
+        ),
+        # HONEST headline: rays actually traced per second.  The
+        # workload-equivalent series number (rounds 1-3 accounting, traced +
+        # provably-zero skipped) is the separate field below.
+        "value": round(mrays_traced, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays_traced / BASELINE_CPU_MRAYS, 2),
+        "frame_s": round(dt, 4),
+        "rays_traced": int(p["rays_traced"]),
+        "zero_rays_skipped": int(p["zero_skipped"]),
+        "isects_per_ray": round(p["isects"] / max(p["rays_traced"], 1.0), 2),
+        "mrays_workload_equiv_per_s": round(mrays_equiv, 3),
+        "note": (
+            "value/vs_baseline count TRACED rays only (honest rate; rounds "
+            "1-3 counted traced+skipped — compare those via "
+            "mrays_workload_equiv_per_s); terrain_1080p is the dragon-class "
+            "BASELINE config: 524k tris, 1080p, depth-4 path trace + full "
+            "lens-flare composite per frame"
+        ),
+    }
+    if platform != "cpu":
+        try:
+            out["terrain_1080p"] = bench_terrain_1080p()
+        except Exception as e:  # record the failure, keep the series metric
+            out["terrain_1080p"] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

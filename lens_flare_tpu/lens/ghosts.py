@@ -287,5 +287,14 @@ def splat_eval(tex, r1s, r2s, colors, axis_ray, width, height, xs, ys, smooth=Fa
         return buf + t1 + t2, None
 
     buf = jnp.zeros((xs.shape[0], 3))
+    # under shard_map the pixel coords are varying over the manual mesh
+    # axes while a fresh zeros carry is device-invariant; the scan requires
+    # carry-in and carry-out types to match, so promote the carry to xs's
+    # varying axes explicitly (no-op outside shard_map)
+    vma = getattr(jax.typeof(xs), "vma", frozenset()) | getattr(
+        jax.typeof(ys), "vma", frozenset()
+    )
+    if vma:
+        buf = jax.lax.pcast(buf, tuple(vma), to="varying")
     buf, _ = jax.lax.scan(one_ghost, buf, (r1s, r2s, colors))
     return buf

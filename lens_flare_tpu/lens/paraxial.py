@@ -138,6 +138,75 @@ def trace_ghost(lens: LensPrescription, T, R_c, L, i, j, r_in, theta):
     return GhostTrace(r_out=res[0], theta_out=res[1])
 
 
+def physical_ghost_matrix(lens: LensPrescription, i: int, j: int, color: int):
+    """Physically-consistent first-order (2x2) matrix for ghost pair (i, j).
+
+    This is the TRUE paraxial limit of the sequential Snell+Fresnel stack
+    (lens/realistic.py) under standard mirror unfolding:
+
+      forward crossings:   T(d_k) @ R(c_k, n1, n2)
+      first reflection j:  L(+c_j)
+      backward crossings:  R(-c_k, n2, n1) @ T(d_k)   (media swapped AND
+                           curvature sign flipped — the surface is crossed
+                           from the other side)
+      second reflection i: L(-c_i)
+      forward to sensor:   T(d_k) @ R(c_k, n1, n2)
+
+    It is verified (tests/test_lens.py) that the autodiff jacobian of the
+    realistic stack at (h, theta) = (0, 0) equals this product EXACTLY for
+    all 13 reference pairs x 3 wavelengths — the non-circular correctness
+    check between the two ghost models.
+
+    The REFERENCE's trace (pathtracer.cpp:588-689, reproduced by
+    :func:`trace_ghost`) instead uses inv(R(c, n1, n2)) on the backward
+    crossings and inv(L(c_i)) at the second bounce.  inv(R) equals the
+    physical backward refraction with the WRONG curvature sign (swapping
+    media already inverts the n-ratio; the sign of c must flip too), and
+    inv(L(c)) = L(-c) matches.  The two models therefore agree exactly
+    whenever the backward segment crosses no curved refracting surface
+    (e.g. pairs (i, i+1) and the aperture-adjacent after-pairs) and differ
+    by a constant linear factor otherwise — an intentional reference
+    parity quirk, kept in :func:`trace_ghost`, documented here.
+
+    Returns M (2, 2): [r_out, theta_out] = M @ [r_in, theta_in] with the
+    ray state taken just before interface 0, exactly like
+    :func:`trace_ghost`.  Differentiable w.r.t. the prescription.
+    """
+    n = lens.num_interfaces
+    ap = lens.aperture_index
+    iors = lens.iors[color]
+
+    def Tm(d):
+        return jnp.array([[1.0, d], [0.0, 1.0]])
+
+    def Rm(c, n1, n2):
+        return jnp.array([[1.0, 0.0], [c * (n1 - n2) / n2, n1 / n2]])
+
+    def Lm(c):
+        return jnp.array([[1.0, 0.0], [2.0 * c, 1.0]])
+
+    def media(k):
+        n1 = jnp.asarray(1.0, iors.dtype) if k == 0 else iors[k - 1]
+        return n1, iors[k]
+
+    M = jnp.eye(2, dtype=lens.curvatures.dtype)
+    for k in range(j):
+        n1, n2 = media(k)
+        Rk = jnp.eye(2) if k == ap else Rm(lens.curvatures[k], n1, n2)
+        M = Tm(lens.spacings[k]) @ Rk @ M
+    M = Lm(lens.curvatures[j]) @ M
+    for k in range(j - 1, i, -1):
+        n1, n2 = media(k)
+        Rk = jnp.eye(2) if k == ap else Rm(-lens.curvatures[k], n2, n1)
+        M = Rk @ Tm(lens.spacings[k]) @ M
+    M = Tm(lens.spacings[i]) @ Lm(-lens.curvatures[i]) @ Tm(lens.spacings[i]) @ M
+    for k in range(i + 1, n):
+        n1, n2 = media(k)
+        Rk = jnp.eye(2) if k == ap else Rm(lens.curvatures[k], n1, n2)
+        M = Tm(lens.spacings[k]) @ Rk @ M
+    return M
+
+
 def reference_ghost_pairs():
     """The 13 reflection pairs the reference enumerates (pathtracer.cpp:735-762)."""
     pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]

@@ -388,3 +388,174 @@ def test_bokeh_sampling_jitters_within_texels():
     assert len(np.unique(np.round(uv[:, 0], 4))) > 100
     assert len(np.unique(np.round(uv[:, 1], 4))) > 100
     assert uv[:, 0].std() > 0.01 and uv[:, 1].std() > 0.01
+
+
+def test_realistic_linearizes_to_physical_paraxial():
+    """The Snell+Fresnel stack's exact linearization == the physical 2x2 chain.
+
+    The one non-circular cross-check between the two ghost models (VERDICT
+    r3 item 4a): the autodiff jacobian of the realistic 3-D trace at
+    (h, theta) = (0, 0) must equal the analytic first-order matrix product
+    of lens/paraxial.py::physical_ghost_matrix for all 13 reference pairs
+    x 3 wavelengths.
+    """
+    import jax
+
+    from lens_flare_tpu.lens.paraxial import (
+        physical_ghost_matrix,
+        reference_ghost_pairs,
+    )
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        lens = reference_prescription(jnp.float64)
+
+        def real_out(v, i, j, c):
+            h, th = v[0], v[1]
+            o = jnp.stack([h - jnp.tan(th), 0.0 * h, -1.0 + 0.0 * h])[None]
+            d = jnp.stack([jnp.sin(th), 0.0 * th, jnp.cos(th)])[None]
+            return trace_ghost_stack(lens, o, d, color=c, pair=(i, j)).xy[0, 0]
+
+        for (i, j) in reference_ghost_pairs():
+            for c in range(3):
+                jac = jax.jacfwd(lambda v: real_out(v, i, j, c))(jnp.zeros(2))
+                M = physical_ghost_matrix(lens, i, j, c)
+                np.testing.assert_allclose(
+                    np.asarray(jac), np.asarray(M[0]), rtol=1e-8, atol=1e-10,
+                    err_msg=f"pair {(i, j)} color {c}",
+                )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_realistic_small_angle_convergence_order():
+    """Finite-aperture error vs the linear model shrinks ~quadratically.
+
+    real(h, theta) - (A h + B theta) is the aberration residual; halving
+    (h, theta) must shrink it by ~4x (second/third-order aberrations) —
+    confirms the realistic trace approaches its own paraxial limit at the
+    expected rate rather than merely touching it at 0.
+    """
+    import jax
+
+    from lens_flare_tpu.lens.paraxial import physical_ghost_matrix
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        lens = reference_prescription(jnp.float64)
+
+        def real_out(h, th, i, j, c):
+            o = jnp.asarray([[h - np.tan(th), 0.0, -1.0]])
+            d = jnp.asarray([[np.sin(th), 0.0, np.cos(th)]])
+            return float(trace_ghost_stack(lens, o, d, color=c, pair=(i, j)).xy[0, 0])
+
+        for (i, j) in [(1, 4), (2, 4), (6, 8)]:
+            M = np.asarray(physical_ghost_matrix(lens, i, j, 0))
+            errs = []
+            for s in (1.0, 0.5, 0.25):
+                h, th = 0.8 * s, 0.02 * s
+                lin = M[0, 0] * h + M[0, 1] * th
+                errs.append(abs(real_out(h, th, i, j, 0) - lin))
+            assert errs[0] > errs[1] > errs[2] > 0, (i, j, errs)
+            # order >= 2: each halving shrinks the residual by >= ~3.5x
+            assert errs[0] / errs[1] > 3.5, (i, j, errs)
+            assert errs[1] / errs[2] > 3.5, (i, j, errs)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_reference_paraxial_quirk_documented():
+    """trace_ghost (reference parity) == physical chain exactly when the
+    backward segment crosses no curved surface, and differs otherwise.
+
+    Documents the intentional divergence (inv(R) backward refraction has
+    the wrong curvature sign; see physical_ghost_matrix docstring) so a
+    future refactor can't silently conflate the two models.
+    """
+    import jax
+
+    from lens_flare_tpu.lens.paraxial import (
+        build_matrices,
+        physical_ghost_matrix,
+        trace_ghost,
+    )
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        lens = reference_prescription(jnp.float64)
+        T, R, L = build_matrices(lens)
+
+        def ref_linear(i, j, c):
+            e = 1e-7
+            rA = trace_ghost(lens, T, R[c], L, jnp.asarray(i), jnp.asarray(j),
+                             jnp.float64(e), jnp.float64(0.0)).r_out
+            rB = trace_ghost(lens, T, R[c], L, jnp.asarray(i), jnp.asarray(j),
+                             jnp.float64(0.0), jnp.float64(e)).r_out
+            return np.array([float(rA) / e, float(rB) / e])
+
+        # adjacent pairs: empty backward segment -> exact agreement
+        for (i, j) in [(0, 1), (1, 2), (3, 4), (6, 7), (7, 8)]:
+            M = np.asarray(physical_ghost_matrix(lens, i, j, 0))
+            np.testing.assert_allclose(ref_linear(i, j, 0), M[0], rtol=1e-5)
+
+        # backward crossings through curved surfaces -> documented mismatch
+        for (i, j) in [(1, 4), (2, 4), (6, 8)]:
+            M = np.asarray(physical_ghost_matrix(lens, i, j, 0))
+            assert not np.allclose(ref_linear(i, j, 0), M[0], rtol=1e-3), (i, j)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_config5_optimizes_realistic_stack():
+    """Lens-design optimization THROUGH the Snell+Fresnel stack (VERDICT r3 4b).
+
+    A perturbed curvature is recovered by gradient descent on the rendered
+    physically-based ghost buffer against a target image — BASELINE
+    configs 3 + 5 combined: the optimization loop drives the realistic
+    model, not just the paraxial one.
+    """
+    import jax
+    import optax
+
+    from lens_flare_tpu.lens.realistic import render_ghosts_stack
+
+    W = H = 64
+    pairs = ((0, 1), (2, 4), (6, 8))
+    lens_true = reference_prescription()
+
+    def img_of(lens):
+        return render_ghosts_stack(
+            lens, jnp.float32(0.3), jnp.ones(3), jnp.asarray([0.6, 0.55]),
+            W, H, pupil_samples=12, pairs=pairs,
+        )
+
+    target = img_of(lens_true)
+    c_true = float(lens_true.curvatures[7])
+    lens0 = lens_true.replace(curvatures=lens_true.curvatures.at[7].multiply(1.25))
+
+    def loss_fn(lens):
+        return jnp.mean((img_of(lens) - target) ** 2) * 1e6
+
+    opt = optax.adam(2e-4)
+    state = opt.init(lens0)
+
+    @jax.jit
+    def step(lens, state):
+        loss, g = jax.value_and_grad(loss_fn)(lens)
+        mask = jnp.zeros_like(lens.curvatures).at[7].set(1.0)
+        g = jax.tree_util.tree_map(jnp.zeros_like, g).replace(
+            curvatures=g.curvatures * mask
+        )
+        up, state = opt.update(g, state, lens)
+        return optax.apply_updates(lens, up), state, loss
+
+    loss0 = float(loss_fn(lens0))
+    lens, state, loss = lens0, state, None
+    for _ in range(150):
+        lens, state, loss = step(lens, state)
+
+    c0 = float(lens0.curvatures[7])
+    cf = float(lens.curvatures[7])
+    assert float(loss) < 1e-3 * loss0, (float(loss), loss0)
+    # the perturbed curvature walked back to within 5% of the perturbation
+    assert abs(cf - c_true) < 0.05 * abs(c0 - c_true), (c_true, c0, cf)

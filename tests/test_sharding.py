@@ -84,3 +84,55 @@ def test_sharded_lens_grad_matches(pyramid_scene):
 
     for a, b in zip(jax.tree_util.tree_leaves(g_base), jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_rowsharded_train_step_shards_the_work():
+    """Config-5 forward model sharded for REAL (VERDICT r3 item 8).
+
+    The row-sharded ghost render must (a) bit-match the unsharded image,
+    (b) produce the same lens update/loss as the unsharded train step, and
+    (c) actually cut per-device compute: the compiled sharded step's
+    per-device FLOPs must be well under the replicated step's.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lens_flare_tpu.lens.prescription import reference_prescription
+    from lens_flare_tpu.parallel.mesh import BATCH_AXIS, make_mesh
+    from lens_flare_tpu.parallel.render import ghost_image_from_lens, make_train_step
+
+    mesh = make_mesh()
+    lens = reference_prescription()
+    tex = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (12, 12)), jnp.float32)
+    axis = jnp.asarray([0.6, 0.55])
+    angle = jnp.float32(0.4)
+    W, H = 48, 40  # H divides over the 8-device mesh
+
+    img_u = ghost_image_from_lens(lens, tex, axis, angle, W, H)
+    img_s = ghost_image_from_lens(lens, tex, axis, angle, W, H, mesh=mesh)
+    assert np.array_equal(np.asarray(img_u), np.asarray(img_s))  # (a)
+
+    opt = optax.adam(1e-3)
+    target = jnp.zeros((H, W, 3))
+    t_sh = jax.device_put(target, NamedSharding(mesh, P(BATCH_AXIS)))
+    step_u = make_train_step(opt, tex, axis, angle, W, H)
+    step_s = make_train_step(opt, tex, axis, angle, W, H, mesh=mesh)
+    lu, _, loss_u = step_u(lens, opt.init(lens), target)
+    ls, _, loss_s = step_s(lens, opt.init(lens), t_sh)
+    np.testing.assert_allclose(  # (b)
+        np.asarray(lu.curvatures), np.asarray(ls.curvatures), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(float(loss_u), float(loss_s), rtol=1e-6)
+
+    def flops(fn, *args):
+        ca = fn.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca.get("flops", -1.0))
+
+    f_u = flops(step_u, lens, opt.init(lens), target)
+    f_s = flops(step_s, lens, opt.init(lens), t_sh)
+    assert f_u > 0 and f_s > 0
+    assert f_s < 0.5 * f_u, (f_s, f_u)  # (c): real per-device work reduction
