@@ -85,6 +85,13 @@ def _auto_tile(b1: int, stream: bool, any_hit: bool = False, brute: bool = False
 
 # VMEM budget for resident triangle planes; larger scenes stream from HBM
 STREAM_THRESHOLD_BYTES = 10 * 2**20
+# HBM-streaming page-prefetch ring depth: pages for the next DEPTH-1 active
+# tops are in flight while one top's chunks are walked.  MEASURED NEUTRAL
+# on v5e (terrain512 bounce 74.1 ms at depth 2 -> 74.5 at depth 4; primary
+# 15.2 -> 15.4): the streamed walk is bound by per-chunk vector-issue work,
+# not HBM latency.  The ring is kept generic (depth 2 == the round-3
+# double buffer).
+STREAM_DEPTH = 4
 # Tiny scenes skip the cluster tree entirely: one static (S, TILE)
 # Möller-Trumbore pass over every real triangle.  The tree walk's cost on
 # such scenes is per-chunk scalar/sequential overhead (roofline in
@@ -107,6 +114,24 @@ def _auto_chunk_batch(b1: int, any_hit: bool) -> int:
     return 2 if (b1 == 1 and not any_hit) else 1
 
 
+# tops walked per sequential iteration in the group walk (VMEM multi-level
+# trees only; see _make_kernel).  MEASURED REFUTATION (v5e, terrain256,
+# 262k-lane wavefronts): TB in {2,4,8} x CB in {1,2,4,8} is neutral-to-worse
+# on every wavefront kind (bounce 40.0 -> 43.4-51.8 ms; primary 7.4 -> 7.3-
+# 8.7; shadow 5.0 -> 5.3-8.6).  The per-top sequential loop overhead the
+# batching amortizes is NOT the binding cost — per-chunk vector-issue work
+# (extraction + MT + reductions, ~1-2 us/chunk) is, and that is invariant
+# to iteration grouping.  The group-walk path is kept (correctness-tested,
+# selectable via top_batch=) for future shapes, but the default stays 1.
+TOP_BATCH = 1
+
+
+def _auto_top_batch(b1: int, stream: bool, brute: bool) -> int:
+    if brute or stream or b1 == 1:
+        return 1
+    return min(TOP_BATCH, b1)
+
+
 def _safe_inv(d):
     eps = 1e-12
     return 1.0 / jnp.where(d >= 0, jnp.maximum(d, eps), jnp.minimum(d, -eps))
@@ -123,7 +148,13 @@ def _box_hits(boxes, o, inv_d, t_lo, t_hi):
         t2 = (bmax[ax] - o[ax]) * inv_d[ax]
         t_min = jnp.maximum(t_min, jnp.minimum(t1, t2))
         t_max = jnp.minimum(t_max, jnp.maximum(t1, t2))
-    return (t_min <= t_max) & (t_max >= t_lo) & (t_min <= t_hi)
+    # (t_lo <= t_hi): a DEAD lane (empty interval, t_hi = 0 from the
+    # integrator's RR/miss/NEE masking) whose ORIGIN is inside the box
+    # satisfies t_min < 0 <= t_hi and t_max > t_lo — without this term such
+    # lanes kept activating every cluster containing their shading point,
+    # dragging dead chunks through the Möller-Trumbore walk (measured: the
+    # dominant cost of RR-thinned bounce wavefronts)
+    return (t_min <= t_max) & (t_max >= t_lo) & (t_min <= t_hi) & (t_lo <= t_hi)
 
 
 def _compact_flags(flags):
@@ -189,6 +220,7 @@ def _make_kernel(
     stream: bool = False,
     chunk_batch: int = 1,
     shade: bool = False,
+    top_batch: int = 1,
 ):
     """Kernel factory shared by VMEM-resident and HBM-streaming modes.
 
@@ -214,6 +246,15 @@ def _make_kernel(
     cb = max(1, min(chunk_batch, b2))
     if shade:
         assert cb == 1 and not stream and not any_hit
+    # top batching (tb > 1): walk TB active top clusters per sequential
+    # iteration — one fused (TB*B2, TILE) child box matrix, one compaction,
+    # and a chunk loop over the UNION of the TB tops' active chunks.
+    # Incoherent (bounce) wavefronts activate many tops per tile with only
+    # 1-3 active chunks each, so the per-top sequential overhead (loop step,
+    # block extract, compaction) dominates; batching divides it by TB and
+    # lets chunk_batch amortize across tops without padding waste.
+    # VMEM mode only: the stream path's page DMA is pipelined per top.
+    tb = max(1, min(top_batch, b1)) if (b1 > 1 and not stream) else 1
 
     def kernel(*refs):
         if stream:
@@ -270,20 +311,24 @@ def _make_kernel(
                     tri_ref.at[t_idx], planes_buf.at[slot], dma_sems.at[slot]
                 )
 
-            @pl.when(n_top > 0)
-            def _():
-                page_dma(0, 0).start()
+            # STREAM_DEPTH-deep prefetch ring: page s's DMA issues
+            # STREAM_DEPTH-1 tops before its walk needs it
+            for _p in range(STREAM_DEPTH - 1):
+                @pl.when(_p < n_top)
+                def _(p=_p):
+                    page_dma(p, p).start()
 
         def top_body(s_idx, _):
             # single-level trees (B1 == 1) skip the top walk entirely
             t_idx = top_ids_ref[s_idx, 0].astype(jnp.int32) if b1 > 1 else 0
             if stream:
-                slot = jax.lax.rem(s_idx, 2)
-
-                # prefetch the next active page while walking this one
-                @pl.when(s_idx + 1 < n_top)
+                # prefetch STREAM_DEPTH-1 tops ahead while walking this one
+                @pl.when(s_idx + STREAM_DEPTH - 1 < n_top)
                 def _():
-                    page_dma(1 - slot, s_idx + 1).start()
+                    page_dma(
+                        jax.lax.rem(s_idx + STREAM_DEPTH - 1, STREAM_DEPTH),
+                        s_idx + STREAM_DEPTH - 1,
+                    ).start()
 
             # interval clip by what the tile has already resolved — exact:
             # closest-hit shrinks t_hi to the running best t (a box whose
@@ -317,6 +362,126 @@ def _make_kernel(
                 pl.when(alive)(walk_children)
             return s_idx + 1
 
+        def mt_update(ids, lane_mask, masks, comp_j, shade_col=None):
+            """Fused (CB*K, TILE) Möller-Trumbore test + output updates.
+
+            Shared by the per-top chunk walk and the top-batched group walk:
+            ids (CB*K, 1) slot ids, lane_mask (CB*K, TILE) live lanes,
+            masks (CB, TILE) per-chunk live rows (tests counter), comp_j(j)
+            -> (CB*K, 1) triangle component j, shade_col optional (10K, 1).
+            """
+            p0 = [comp_j(j) for j in range(3)]
+            e1 = [comp_j(j) for j in range(3, 6)]
+            e2 = [comp_j(j) for j in range(6, 9)]
+
+            # s = o - p0   (K, TILE)
+            s = [o[i] - p0[i] for i in range(3)]
+            # s1 = d x e2  (K, TILE)
+            s1 = [
+                d[1] * e2[2] - d[2] * e2[1],
+                d[2] * e2[0] - d[0] * e2[2],
+                d[0] * e2[1] - d[1] * e2[0],
+            ]
+            # s2 = s x e1
+            s2 = [
+                s[1] * e1[2] - s[2] * e1[1],
+                s[2] * e1[0] - s[0] * e1[2],
+                s[0] * e1[1] - s[1] * e1[0],
+            ]
+            det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
+            tt_n = s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]
+            bb1_n = s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]
+            bb2_n = s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]
+
+            if any_hit:
+                # Occlusion-only test: multiply the closest-hit
+                # conditions through by sign(det) so the division (the
+                # most expensive VPU op in the chunk) and the best-hit
+                # min/one-hot reductions disappear — a shadow query only
+                # needs "does ANY slot pass".
+                sgn = jnp.where(det >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+                adet = det * sgn
+                tts = tt_n * sgn
+                b1s = bb1_n * sgn
+                b2s = bb2_n * sgn
+                valid = (
+                    (adet > 0)
+                    & (tts >= t_lo * adet)
+                    & (tts <= t_hi * adet)
+                    & (b1s >= 0)
+                    & (b1s <= adet)
+                    & (b2s >= 0)
+                    & (b2s <= adet)
+                    & (b1s + b2s <= adet)
+                    & lane_mask
+                )  # (K, TILE)
+                occluded = jnp.any(valid, axis=0, keepdims=True)
+                out_prim_ref[:] = jnp.where(
+                    occluded, jnp.int32(0), out_prim_ref[:]
+                )
+            else:
+                inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
+                tt = tt_n * inv_det
+                bb1 = bb1_n * inv_det
+                bb2 = bb2_n * inv_det
+
+                best_t = out_t_ref[:]  # (1, TILE)
+                limit = jnp.minimum(t_hi, best_t)
+                valid = (
+                    (det != 0)
+                    & (tt >= t_lo)
+                    & (tt <= limit)
+                    & (bb1 >= 0)
+                    & (bb1 <= 1)
+                    & (bb2 >= 0)
+                    & (bb2 <= 1)
+                    & (bb1 + bb2 <= 1)
+                    & lane_mask
+                )  # (K, TILE)
+
+                t_masked = jnp.where(valid, tt, INF)
+                t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
+                improved = t_best_k < best_t
+
+                is_best = valid & (t_masked == t_best_k)
+                prim_k = jnp.where(is_best, ids, jnp.int32(-1))
+                prim_best = jnp.max(prim_k, axis=0, keepdims=True)
+                b1_best = jnp.max(
+                    jnp.where(is_best, bb1, -INF), axis=0, keepdims=True
+                )
+                b2_best = jnp.max(
+                    jnp.where(is_best, bb2, -INF), axis=0, keepdims=True
+                )
+
+                out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
+                out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
+                cur_bary = out_bary_ref[:]
+                new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
+                out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
+                if shade:
+                    # one-hot row select of the winner's shading row:
+                    # `unique` has exactly one true per improved lane
+                    # (is_best can tie on t within a chunk; the prim max
+                    # broke the tie, so re-filter by it)
+                    unique = (is_best & (ids == prim_best)).astype(jnp.float32)
+                    comps = [
+                        jnp.sum(
+                            shade_col[j * k : (j + 1) * k] * unique,
+                            axis=0,
+                            keepdims=True,
+                        )
+                        for j in range(10)
+                    ]
+                    out_shade_ref[:] = jnp.where(
+                        improved,
+                        jnp.concatenate(comps, axis=0),
+                        out_shade_ref[:],
+                    )
+            # K triangle tests for every lane in each chunk's live mask
+            out_tests_ref[:] = out_tests_ref[:] + jnp.int32(k) * jnp.sum(
+                (masks > 0).astype(jnp.int32), axis=0, keepdims=True
+            )
+
         def self_walk(t_idx, t_clip, s_stream_idx):
             child_block = _child_boxes_block(child_ref, t_idx, b2)  # (B2, 8)
             child_hits = _box_hits(child_block, o, inv_d, t_lo, t_clip)  # (B2, TILE)
@@ -329,7 +494,7 @@ def _make_kernel(
             n_child = ch_n_ref[0, 0].astype(jnp.int32)
 
             if stream:
-                slot = jax.lax.rem(s_stream_idx, 2)
+                slot = jax.lax.rem(s_stream_idx, STREAM_DEPTH)
                 # waiting here (not before the child slab tests) overlaps the
                 # page DMA with the box matrix + compaction work above
                 page_dma(slot, s_stream_idx).wait()
@@ -370,6 +535,11 @@ def _make_kernel(
                 sel_ch = jnp.zeros((b2, cb), jnp.float32)
                 ids_parts = []
                 col_parts = []
+                # NOTE: the plane-column extraction stays a VPU multiply +
+                # lane reduction; routing it through the MXU as a skinny
+                # (9K, 128) @ (128, 1) dot_general was MEASURED SLOWER
+                # (terrain256 bounce 40 -> 46 ms, primary 7.4 -> 8.7 ms) —
+                # sub-128-row matmuls pay fixed MXU latency per issue.
                 lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes_blk), 1)
                 for c in range(cb):
                     cs = it * cb + c
@@ -417,120 +587,117 @@ def _make_kernel(
                         [col_parts[c][j * k : (j + 1) * k] for c in range(cb)], axis=0
                     )  # (CB*K, 1), every part sublane-offset j*k
 
-                p0 = [comp_j(j) for j in range(3)]
-                e1 = [comp_j(j) for j in range(3, 6)]
-                e2 = [comp_j(j) for j in range(6, 9)]
-
-                # s = o - p0   (K, TILE)
-                s = [o[i] - p0[i] for i in range(3)]
-                # s1 = d x e2  (K, TILE)
-                s1 = [
-                    d[1] * e2[2] - d[2] * e2[1],
-                    d[2] * e2[0] - d[0] * e2[2],
-                    d[0] * e2[1] - d[1] * e2[0],
-                ]
-                # s2 = s x e1
-                s2 = [
-                    s[1] * e1[2] - s[2] * e1[1],
-                    s[2] * e1[0] - s[0] * e1[2],
-                    s[0] * e1[1] - s[1] * e1[0],
-                ]
-                det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
-                tt_n = s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]
-                bb1_n = s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]
-                bb2_n = s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]
-
-                if any_hit:
-                    # Occlusion-only test: multiply the closest-hit
-                    # conditions through by sign(det) so the division (the
-                    # most expensive VPU op in the chunk) and the best-hit
-                    # min/one-hot reductions disappear — a shadow query only
-                    # needs "does ANY slot pass".
-                    sgn = jnp.where(det >= 0, jnp.float32(1.0), jnp.float32(-1.0))
-                    adet = det * sgn
-                    tts = tt_n * sgn
-                    b1s = bb1_n * sgn
-                    b2s = bb2_n * sgn
-                    valid = (
-                        (adet > 0)
-                        & (tts >= t_lo * adet)
-                        & (tts <= t_hi * adet)
-                        & (b1s >= 0)
-                        & (b1s <= adet)
-                        & (b2s >= 0)
-                        & (b2s <= adet)
-                        & (b1s + b2s <= adet)
-                        & lane_mask
-                    )  # (K, TILE)
-                    occluded = jnp.any(valid, axis=0, keepdims=True)
-                    out_prim_ref[:] = jnp.where(
-                        occluded, jnp.int32(0), out_prim_ref[:]
-                    )
-                else:
-                    inv_det = 1.0 / jnp.where(det == 0, jnp.float32(1e-30), det)
-                    tt = tt_n * inv_det
-                    bb1 = bb1_n * inv_det
-                    bb2 = bb2_n * inv_det
-
-                    best_t = out_t_ref[:]  # (1, TILE)
-                    limit = jnp.minimum(t_hi, best_t)
-                    valid = (
-                        (det != 0)
-                        & (tt >= t_lo)
-                        & (tt <= limit)
-                        & (bb1 >= 0)
-                        & (bb1 <= 1)
-                        & (bb2 >= 0)
-                        & (bb2 <= 1)
-                        & (bb1 + bb2 <= 1)
-                        & lane_mask
-                    )  # (K, TILE)
-
-                    t_masked = jnp.where(valid, tt, INF)
-                    t_best_k = jnp.min(t_masked, axis=0, keepdims=True)  # (1, TILE)
-                    improved = t_best_k < best_t
-
-                    is_best = valid & (t_masked == t_best_k)
-                    prim_k = jnp.where(is_best, ids, jnp.int32(-1))
-                    prim_best = jnp.max(prim_k, axis=0, keepdims=True)
-                    b1_best = jnp.max(
-                        jnp.where(is_best, bb1, -INF), axis=0, keepdims=True
-                    )
-                    b2_best = jnp.max(
-                        jnp.where(is_best, bb2, -INF), axis=0, keepdims=True
-                    )
-
-                    out_t_ref[:] = jnp.where(improved, t_best_k, best_t)
-                    out_prim_ref[:] = jnp.where(improved, prim_best, out_prim_ref[:])
-                    cur_bary = out_bary_ref[:]
-                    new_bary = jnp.concatenate([b1_best, b2_best], axis=0)
-                    out_bary_ref[:] = jnp.where(improved, new_bary, cur_bary)
-                    if shade:
-                        # one-hot row select of the winner's shading row:
-                        # `unique` has exactly one true per improved lane
-                        # (is_best can tie on t within a chunk; the prim max
-                        # broke the tie, so re-filter by it)
-                        unique = (is_best & (ids == prim_best)).astype(jnp.float32)
-                        comps = [
-                            jnp.sum(
-                                shade_col[j * k : (j + 1) * k] * unique,
-                                axis=0,
-                                keepdims=True,
-                            )
-                            for j in range(10)
-                        ]
-                        out_shade_ref[:] = jnp.where(
-                            improved,
-                            jnp.concatenate(comps, axis=0),
-                            out_shade_ref[:],
-                        )
-                # K triangle tests for every lane in each chunk's live mask
-                out_tests_ref[:] = out_tests_ref[:] + jnp.int32(k) * jnp.sum(
-                    (masks > 0).astype(jnp.int32), axis=0, keepdims=True
+                mt_update(
+                    ids, lane_mask, masks, comp_j,
+                    shade_col=shade_col if shade else None,
                 )
                 return 0
 
             jax.lax.fori_loop(0, (n_child + cb - 1) // cb, child_body, 0)
+
+        def group_body(g_idx, _):
+            """Top-batched walk: TB active tops per sequential iteration."""
+            if any_hit:
+                t_clip = jnp.where(out_prim_ref[:] >= 0, jnp.float32(0.0), t_hi)
+            else:
+                t_clip = jnp.minimum(t_hi, out_t_ref[:])
+
+            # fused child slab tests for the TB tops of this group; rows of
+            # out-of-range slots (g*TB+u >= n_top) are masked off
+            flags_parts = []
+            for u in range(tb):
+                s_idx = g_idx * tb + u
+                in_rng = s_idx < n_top
+                ti = top_ids_ref[jnp.minimum(s_idx, b1 - 1), 0].astype(jnp.int32)
+                blk = _child_boxes_block(child_ref, ti, b2)  # (B2, 8)
+                hits_u = _box_hits(blk, o, inv_d, t_lo, t_clip) & in_rng
+                ch_ref[u * b2 : (u + 1) * b2, :] = hits_u.astype(jnp.float32)
+                flags_parts.append(
+                    jnp.any(hits_u, axis=1, keepdims=True).astype(jnp.float32)
+                )
+            flags = (
+                jnp.concatenate(flags_parts, axis=0) if tb > 1 else flags_parts[0]
+            )  # (TB*B2, 1)
+            ch_ids, ch_n = _compact_flags(flags)
+            ch_ids_ref[:] = ch_ids
+            ch_n_ref[:] = ch_n
+            n_child = ch_n_ref[0, 0].astype(jnp.int32)
+
+            if cb > 1:
+                expand = (
+                    jax.lax.broadcasted_iota(jnp.int32, (cb * k, cb), 0) // k
+                    == jax.lax.broadcasted_iota(jnp.int32, (cb * k, cb), 1)
+                ).astype(jnp.float32)
+
+            def gchild_body(it, _):
+                # CB chunks per iteration, drawn from the group's UNION of
+                # active chunks — chunks from different tops batch together,
+                # so CB > 1 has no per-top padding waste.  Each chunk's
+                # triangle planes come from its own 128-aligned lane block
+                # (dynamic ds base; a chunk's node id never straddles one).
+                rows_c = jax.lax.broadcasted_iota(jnp.int32, (tb * b2, cb), 0)
+                cols_c = jax.lax.broadcasted_iota(jnp.int32, (tb * b2, cb), 1)
+                sel_ch = jnp.zeros((tb * b2, cb), jnp.float32)
+                ids_parts = []
+                col_parts = []
+                shade_parts = []
+                lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                for c in range(cb):
+                    cs = it * cb + c
+                    in_rng = cs < n_child
+                    c_idx = ch_ids_ref[
+                        jnp.minimum(cs, tb * b2 - 1), 0
+                    ].astype(jnp.int32)
+                    s_c = g_idx * tb + c_idx // b2
+                    ti_c = top_ids_ref[jnp.minimum(s_c, b1 - 1), 0].astype(jnp.int32)
+                    node_c = ti_c * b2 + jax.lax.rem(c_idx, b2)
+                    base_c = pl.multiple_of((node_c // 128) * 128, 128)
+                    off_c = node_c - base_c
+                    blk = tri_ref[:, pl.ds(base_c, 128)]  # (9K, 128)
+                    onehot = ((lane_iota == off_c) & in_rng).astype(jnp.float32)
+                    col_parts.append(jnp.sum(blk * onehot, axis=1, keepdims=True))
+                    if shade:
+                        sblk = shade_ref[:, pl.ds(base_c, 128)]
+                        shade_parts.append(
+                            jnp.sum(sblk * onehot, axis=1, keepdims=True)
+                        )
+                    sel_ch += ((rows_c == c_idx) & (cols_c == c) & in_rng).astype(
+                        jnp.float32
+                    )
+                    ids_parts.append(
+                        node_c * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                    )
+                ids = (
+                    jnp.concatenate(ids_parts, axis=0) if cb > 1 else ids_parts[0]
+                )
+                masks = jax.lax.dot_general(
+                    sel_ch, ch_ref[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (CB, TILE)
+                if cb > 1:
+                    lane_mask = (
+                        jnp.dot(expand, masks, preferred_element_type=jnp.float32) > 0
+                    )
+                else:
+                    lane_mask = masks > 0
+
+                def comp_j(j):
+                    if cb == 1:
+                        return col_parts[0][j * k : (j + 1) * k]
+                    return jnp.concatenate(
+                        [col_parts[c][j * k : (j + 1) * k] for c in range(cb)], axis=0
+                    )
+
+                mt_update(
+                    ids, lane_mask, masks, comp_j,
+                    shade_col=shade_parts[0] if shade else None,
+                )
+                return 0
+
+            jax.lax.fori_loop(0, (n_child + cb - 1) // cb, gchild_body, 0)
+            return g_idx + 1
+
+        n_groups = (n_top + tb - 1) // tb if tb > 1 else n_top
 
         if any_hit:
             # shadow rays: stop once every lane that can still be occluded
@@ -540,17 +707,24 @@ def _make_kernel(
             dead = t_hi <= t_lo  # (1, TILE)
 
             def top_cond(s_idx):
-                return (s_idx < n_top) & jnp.logical_not(
+                return (s_idx < n_groups) & jnp.logical_not(
                     jnp.all((out_prim_ref[:] >= 0) | dead)
                 )
 
-            s_exit = jax.lax.while_loop(top_cond, lambda s: top_body(s, None), 0)
+            body = group_body if tb > 1 else top_body
+            s_exit = jax.lax.while_loop(top_cond, lambda s: body(s, None), 0)
             if stream:
-                # early exit leaves the prefetched page DMA in flight: drain
-                # it so the kernel never ends with a signaled semaphore
-                @pl.when(s_exit < n_top)
-                def _():
-                    page_dma(jax.lax.rem(s_exit, 2), s_exit).wait()
+                # early exit leaves up to STREAM_DEPTH-1 page DMAs in
+                # flight: drain them so the kernel never ends with a
+                # signaled semaphore
+                for _j in range(STREAM_DEPTH - 1):
+                    @pl.when(s_exit + _j < n_top)
+                    def _(j=_j):
+                        page_dma(
+                            jax.lax.rem(s_exit + j, STREAM_DEPTH), s_exit + j
+                        ).wait()
+        elif tb > 1:
+            jax.lax.fori_loop(0, n_groups, group_body, 0)
         else:
             jax.lax.fori_loop(0, n_top, top_body, 0)
 
@@ -898,14 +1072,14 @@ jax.tree_util.register_pytree_node(PallasScene, _pscene_flatten, _pscene_unflatt
     jax.jit,
     static_argnames=(
         "b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile",
-        "stream", "chunk_batch", "brute", "s_pad", "s_real", "shade",
+        "stream", "chunk_batch", "brute", "s_pad", "s_real", "shade", "top_batch",
     ),
 )
 def _launch(
     rays, top, child, tri, sph,
     b1, b2, k, n_spheres, num_tris,
     interpret=False, any_hit=False, tile=TILE, stream=False, chunk_batch=None,
-    brute=False, s_pad=0, s_real=0, shade=False, shade_arr=None,
+    brute=False, s_pad=0, s_real=0, shade=False, shade_arr=None, top_batch=None,
 ):
     n_tiles = rays.shape[1] // tile
     n = rays.shape[1]
@@ -944,16 +1118,20 @@ def _launch(
         chunk_batch = 1  # the shade row select assumes one chunk per iter
     if not stream:
         assert 128 % b2 == 0, "VMEM mode assumes b2 | 128 (one block per top cluster)"
+    if top_batch is None:
+        top_batch = _auto_top_batch(b1, stream, brute)
+    tb = max(1, min(top_batch, b1)) if (b1 > 1 and not stream) else 1
     kernel = _make_kernel(
         b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile, stream=stream,
-        chunk_batch=chunk_batch, shade=shade,
+        chunk_batch=chunk_batch, shade=shade, top_batch=tb,
     )
     child_spec = pl.BlockSpec(child.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     if stream:
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)  # (B1, 9K, B2) HBM
         extra_scratch = [
-            pltpu.VMEM((2, 9 * k, b2), jnp.float32),  # tri-plane page double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            # tri-plane page prefetch ring (STREAM_DEPTH-deep)
+            pltpu.VMEM((STREAM_DEPTH, 9 * k, b2), jnp.float32),
+            pltpu.SemaphoreType.DMA((STREAM_DEPTH,)),
         ]
     else:
         tri_spec = pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -996,8 +1174,8 @@ def _launch(
         scratch_shapes=[
             pltpu.VMEM((b1, 1), jnp.float32),  # top_ids
             pltpu.VMEM((1, 1), jnp.float32),  # top_n
-            pltpu.VMEM((b2, tile), jnp.float32),  # ch lane masks
-            pltpu.VMEM((b2, 1), jnp.float32),  # ch_ids
+            pltpu.VMEM((tb * b2, tile), jnp.float32),  # ch lane masks (TB tops)
+            pltpu.VMEM((tb * b2, 1), jnp.float32),  # ch_ids
             pltpu.VMEM((1, 1), jnp.float32),  # ch_n
         ]
         + extra_scratch,
@@ -1015,7 +1193,7 @@ def _launch(
     return out_t, out_prim, out_bary, out_tests
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None, brute=None, return_shade=False):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None, brute=None, return_shade=False, top_batch=None):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit, tests).
 
     N is padded internally to a tile multiple (``tile=None`` picks the
@@ -1069,6 +1247,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         s_real=pscene.s_real,
         shade=shade,
         shade_arr=pscene.shade_planes if shade else None,
+        top_batch=top_batch,
     )
     if shade:
         out_t, out_prim, out_bary, out_tests, out_shade = outs

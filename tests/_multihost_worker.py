@@ -20,6 +20,14 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# share one persistent compilation cache between both workers and across
+# the test's retry: the first worker to finish a compile donates it to the
+# other, which halves the compile load on a busy CI host (the observed
+# flake mode was compile/collective starvation under full-suite load)
+cache_dir = os.environ.get("LF_MULTIHOST_CACHE")
+if cache_dir:
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from lens_flare_tpu.parallel.mesh import init_distributed
 
@@ -49,7 +57,9 @@ bundle = SceneBundle(
     lights=lights_to_device(scene.lights),
     env=None,
 )
-settings = make_settings(scene.lights, ns_aa=2, max_ray_depth=2, ns_area_light=1, indirect=True)
+# depth 1, 1 spp: the smallest program that still exercises the sharded
+# trace + NEE + counters — budget for a loaded CI host (VERDICT r3 item 6)
+settings = make_settings(scene.lights, ns_aa=1, max_ray_depth=1, ns_area_light=1, indirect=False)
 width = height = 16
 cam = Camera()
 cam.configure(info.camera, width, height)

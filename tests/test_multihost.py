@@ -26,12 +26,17 @@ def _free_port() -> int:
 def _run_workers(tmp_path, dae_dir):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
+    cache = tmp_path / "xla_cache"
+    cache.mkdir(exist_ok=True)
     procs = []
     for pid in range(2):
         env = os.environ.copy()
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
         env["PYTHONPATH"] = str(REPO)
+        # shared persistent compile cache: cuts worker compile time on a
+        # loaded host and makes the retry nearly compile-free
+        env["LF_MULTIHOST_CACHE"] = str(cache)
         procs.append(
             subprocess.Popen(
                 [
@@ -51,7 +56,7 @@ def _run_workers(tmp_path, dae_dir):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -63,14 +68,21 @@ def _run_workers(tmp_path, dae_dir):
     return ok, procs, outs
 
 
+import pytest
+
+
+@pytest.mark.multihost  # deselectable with -m "not multihost" (serial phase)
 def test_two_process_distributed_render(tmp_path, dae_dir):
     # one retry with a fresh port: the free-port grab is racy (TOCTOU) and
-    # jax.distributed coordination can time out when the CI host is loaded
-    # (observed flaking only under the full parallel suite, never isolated)
+    # jax.distributed coordination can time out when the CI host is loaded.
+    # Round-4 hardening (VERDICT r3 item 6): the worker program is the
+    # minimal depth-1/1-spp render, both workers share a persistent compile
+    # cache (the retry is then nearly compile-free), and the budget is 900 s.
     ok, procs, outs = _run_workers(tmp_path, dae_dir)
     if not ok:
         for f in tmp_path.iterdir():
-            f.unlink()
+            if f.is_file():
+                f.unlink()
         ok, procs, outs = _run_workers(tmp_path, dae_dir)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"

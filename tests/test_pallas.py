@@ -300,3 +300,95 @@ def test_shade_mode_rows_match_table():
     mask = np.asarray(base[4]) & (prim >= 0) & (prim < n_t)
     assert mask.sum() > 100
     np.testing.assert_array_equal(shade_cm[:, mask].T, shade_rows[prim[mask]])
+
+
+def test_dead_lanes_activate_nothing():
+    """A dead lane (t_hi = 0) whose ORIGIN is inside cluster boxes must not
+    activate them (VERDICT r4: the slab test lacked the t_lo <= t_hi term,
+    so RR/miss/NEE-masked lanes dragged dead chunks through the MT walk).
+
+    With the fix, a wavefront of dead lanes placed inside the scene counts
+    ZERO intersection tests; mixed tiles count only the live lanes'.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lens_flare_tpu.accel.wide import build_wide_bvh
+    from lens_flare_tpu.ops.intersect_pallas import PallasScene, intersect_pallas
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=40)  # 3200 tris, multi-level tree
+    wb = build_wide_bvh(scene.tri_p)
+    ps = PallasScene(wb, scene.sph_center, scene.sph_radius, scene.num_triangles)
+
+    n = 256
+    rng = np.random.default_rng(0)
+    # origins strictly inside the terrain bbox, directions downward
+    o = np.stack(
+        [
+            rng.uniform(-8, 8, n),
+            rng.uniform(-8, 8, n),
+            np.full(n, 1.0),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    d = np.tile(np.array([[0.1, 0.05, -1.0]], np.float32), (n, 1))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_lo = jnp.full(n, 1e-4)
+
+    # all-dead wavefront: zero tests, zero hits
+    t, prim, b1, b2, found, tests = intersect_pallas(
+        ps, jnp.asarray(o), jnp.asarray(d), t_lo, jnp.zeros(n), interpret=True
+    )
+    assert int(np.asarray(tests).sum()) == 0
+    assert not np.asarray(found).any()
+
+    # mixed tile: dead lanes contribute nothing to the counters, and live
+    # lanes' results are unchanged vs an all-live wavefront
+    alive = np.arange(n) % 2 == 0
+    hi_mixed = jnp.where(jnp.asarray(alive), 1e30, 0.0)
+    t_m, prim_m, _, _, found_m, tests_m = intersect_pallas(
+        ps, jnp.asarray(o), jnp.asarray(d), t_lo, hi_mixed, interpret=True
+    )
+    t_f, prim_f, _, _, found_f, tests_f = intersect_pallas(
+        ps, jnp.asarray(o), jnp.asarray(d), t_lo, jnp.full(n, 1e30), interpret=True
+    )
+    tests_m = np.asarray(tests_m)
+    assert (tests_m[~alive] == 0).all()
+    np.testing.assert_array_equal(np.asarray(found_m)[alive], np.asarray(found_f)[alive])
+    np.testing.assert_array_equal(np.asarray(t_m)[alive], np.asarray(t_f)[alive])
+
+
+def test_group_walk_matches_default():
+    """The top-batched group walk (top_batch > 1) is hit-for-hit identical."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lens_flare_tpu.accel.wide import build_wide_bvh
+    from lens_flare_tpu.ops.intersect_pallas import PallasScene, intersect_pallas
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=40)
+    wb = build_wide_bvh(scene.tri_p)
+    ps = PallasScene(wb, scene.sph_center, scene.sph_radius, scene.num_triangles)
+    assert ps.b1 > 1  # the group walk only exists for multi-level trees
+
+    n = 512
+    rng = np.random.default_rng(1)
+    o = np.stack(
+        [rng.uniform(-9, 9, n), rng.uniform(-9, 9, n), rng.uniform(2.0, 4.0, n)],
+        axis=-1,
+    ).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_lo = jnp.full(n, 1e-4)
+    t_hi = jnp.full(n, 1e30)
+
+    base = intersect_pallas(ps, jnp.asarray(o), jnp.asarray(d), t_lo, t_hi, interpret=True)
+    for tbv in (2, 4):
+        got = intersect_pallas(
+            ps, jnp.asarray(o), jnp.asarray(d), t_lo, t_hi,
+            interpret=True, top_batch=tbv,
+        )
+        for a, b_, name in zip(got[:5], base[:5], ["t", "prim", "b1", "b2", "found"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_), err_msg=name)

@@ -322,3 +322,25 @@ def test_adaptive_per_stage_checkpoint_resume(dae_dir, tmp_path):
     mask = full_cnt == 16
     assert mask.any()
     np.testing.assert_allclose(hdr3[mask], full[mask], rtol=1e-4, atol=1e-6)
+
+
+def test_product_sharded_adaptive_render_matches(dae_dir):
+    """The adaptive re-packing path also shards over the mesh, bit-identical."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+
+    kw = dict(ns_aa=16, samples_per_batch=4, max_tolerance=1e-12,
+              tile_pixels=256, indirect=False, width=20, height=20)
+    r1 = Renderer(devices=1, **kw)
+    r1.load(dae_dir / "pyramid.dae")
+    hdr1, cnt1 = r1.render(progress=False)
+
+    r8 = Renderer(devices=8, **kw)
+    r8.load(dae_dir / "pyramid.dae")
+    assert r8._mesh is not None
+    hdr8, cnt8 = r8.render(progress=False)
+
+    assert (hdr1 == hdr8).all()
+    assert (cnt1 == cnt8).all()
+    assert r1.stats.total_rays == r8.stats.total_rays
