@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=0, help="shard the render over the first N devices (0 = all available)")
     p.add_argument(
+        "--trace",
+        dest="trace_dir",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the render into DIR (view with "
+        "TensorBoard / xprof; the SURVEY 5.1 profiling subsystem — the "
+        "reference only had wall-clock Timer prints)",
+    )
+    p.add_argument(
         "--view",
         action="store_true",
         help="open the interactive terminal viewer instead of rendering to -f "
@@ -111,7 +120,28 @@ def main(argv=None) -> int:
 
         return run_viewer(Application(r, filename=str(Path(args.output).with_suffix(""))))
     cell = tuple(args.p) if args.p else None
-    r.render_to_file(args.output, cell=cell)
+    if args.trace_dir:
+        import jax
+
+        # the axon plugin registers its devices as plain "tpu"; the tunnel
+        # is only visible in the jax_platforms config it presets
+        if "axon" in (jax.config.jax_platforms or ""):
+            # the tunneled remote-TPU backend has no profiler endpoint;
+            # jax.profiler.trace hangs indefinitely there (measured).  The
+            # k-difference tools (tools/timing.py, tools/bench_kernels.py)
+            # are the supported perf instrumentation through the tunnel.
+            print(
+                "[PathTracer] --trace is unavailable through the remote-TPU "
+                "tunnel; rendering without a trace (use tools/timing.py for "
+                "device timings)"
+            )
+            r.render_to_file(args.output, cell=cell)
+        else:
+            with jax.profiler.trace(args.trace_dir):
+                r.render_to_file(args.output, cell=cell)
+            print(f"[PathTracer] profiler trace written to {args.trace_dir}")
+    else:
+        r.render_to_file(args.output, cell=cell)
     return 0
 
 

@@ -344,3 +344,26 @@ def test_product_sharded_adaptive_render_matches(dae_dir):
     assert (hdr1 == hdr8).all()
     assert (cnt1 == cnt8).all()
     assert r1.stats.total_rays == r8.stats.total_rays
+
+
+def test_cli_profiler_trace(dae_dir, tmp_path):
+    """`--trace DIR` captures a jax.profiler trace around the render."""
+    import os
+    import subprocess
+    import sys
+
+    out = tmp_path / "out.png"
+    tdir = tmp_path / "trace"
+    cmd = [
+        sys.executable, "-m", "lens_flare_tpu.cli",
+        "-s", "1", "-m", "1", "-r", "16", "16",
+        "--trace", str(tdir),
+        "-f", str(out), str(dae_dir / "pyramid.dae"),
+    ]
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin:/opt/venv/bin")
+    env.update({k: v for k, v in os.environ.items() if k not in env})
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert out.exists()
+    # a non-empty trace directory was produced (plugins/profile/<ts>/...)
+    assert tdir.exists() and any(tdir.rglob("*")), list(tdir.rglob("*"))
