@@ -113,6 +113,11 @@ def main(argv=None) -> int:
     if args.view:
         # interactive mode reuses the fully-configured, already-loaded
         # renderer (every CLI flag applies: envmap, adaptive, flare, ...)
+        if args.trace_dir:
+            print(
+                "[PathTracer] --trace applies to offline renders only; "
+                "ignoring it for the interactive viewer"
+            )
         from .app import Application
         from .term_viewer import run_viewer
 

@@ -249,12 +249,12 @@ def _make_kernel(
     # top batching (tb > 1): walk TB active top clusters per sequential
     # iteration — one fused (TB*B2, TILE) child box matrix, one compaction,
     # and a chunk loop over the UNION of the TB tops' active chunks.
-    # Incoherent (bounce) wavefronts activate many tops per tile with only
-    # 1-3 active chunks each, so the per-top sequential overhead (loop step,
-    # block extract, compaction) dominates; batching divides it by TB and
-    # lets chunk_batch amortize across tops without padding waste.
-    # VMEM mode only: the stream path's page DMA is pipelined per top.
-    tb = max(1, min(top_batch, b1)) if (b1 > 1 and not stream) else 1
+    # VMEM multi-level mode only (the stream path's page DMA is pipelined
+    # per top); _launch owns the clamping — see TOP_BATCH for the measured
+    # refutation of tb > 1 as a default.
+    tb = top_batch
+    assert 1 <= tb <= b1 or b1 == 1
+    assert tb == 1 or (b1 > 1 and not stream)
 
     def kernel(*refs):
         if stream:

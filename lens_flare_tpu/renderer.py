@@ -242,6 +242,32 @@ class Renderer:
 
     # ------------------------------------------------------------------
 
+    def _checkpoint_fingerprint(self, cell) -> str:
+        """Identity of a render for checkpoint resume purposes.
+
+        A checkpoint is only resumable into a render of the SAME scene,
+        camera pose, film size, cell, seed and sampling plan — a stale file
+        from a different render must be rejected, not silently merged into
+        the film.  Hash of everything that changes the per-pixel estimate.
+        """
+        import hashlib
+
+        cam = self.camera.params() if self.camera is not None else None
+        parts = [
+            self.seed, self.width, self.height, cell, self.ns_aa,
+            self.samples_per_batch, self.max_tolerance, self.max_ray_depth,
+            self.ns_area_light, self.direct_hemisphere_sample, self.indirect,
+            self.lens_radius, self.focal_distance,
+            self.scene.num_triangles, self.scene.num_spheres,
+        ]
+        h = hashlib.sha256(repr(parts).encode())
+        if cam is not None:
+            for leaf in jax.tree_util.tree_leaves(cam):
+                h.update(np.asarray(leaf).tobytes())
+        h.update(np.asarray(self.scene.bbox_min).tobytes())
+        h.update(np.asarray(self.scene.bbox_max).tobytes())
+        return h.hexdigest()
+
     def _shard_input(self, arr):
         """Place a wavefront array on the mesh batch axis (no-op single-device)."""
         if self._mesh is None:
@@ -307,6 +333,7 @@ class Renderer:
         t_start = time.perf_counter()
         n_tiles = -(-n_px // tile)
 
+        fp = self._checkpoint_fingerprint(cell)
         start_tile = 0
         if checkpoint_path is not None and Path(checkpoint_path).exists():
             ck = np.load(checkpoint_path)
@@ -316,6 +343,7 @@ class Renderer:
                 "next_tile" in ck
                 and int(ck["n_tiles"]) == n_tiles
                 and ck["film"].shape == film.shape
+                and ("fp" in ck and str(ck["fp"]) == fp)
             ):
                 film = ck["film"]
                 counts = ck["counts"]
@@ -334,13 +362,14 @@ class Renderer:
         if adaptive:
             if start_tile < n_tiles:  # not already complete from a checkpoint
                 rad, cnt, st = self._adaptive_render(
-                    cam_params, key, xs, ys, progress, checkpoint_path=checkpoint_path
+                    cam_params, key, xs, ys, progress,
+                    checkpoint_path=checkpoint_path, fp=fp,
                 )
                 total_stats += st
                 film[ys, xs] = rad
                 counts[ys, xs] = cnt
                 if checkpoint_path is not None:
-                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=n_tiles, n_tiles=n_tiles)
+                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=n_tiles, n_tiles=n_tiles, fp=fp)
         else:
             for ti in range(start_tile, n_tiles):
                 sl = slice(ti * tile, min((ti + 1) * tile, n_px))
@@ -366,7 +395,7 @@ class Renderer:
                 film[ys[sl], xs[sl]] = rad
                 counts[ys[sl], xs[sl]] = cnt
                 if checkpoint_path is not None:
-                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=ti + 1, n_tiles=n_tiles)
+                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=ti + 1, n_tiles=n_tiles, fp=fp)
                 if progress:
                     print(f"\r[PathTracer] Rendering... {100 * (ti + 1) // n_tiles}%", end="", flush=True)
 
@@ -388,7 +417,7 @@ class Renderer:
             )
         return film, counts
 
-    def _adaptive_render(self, cam_params, key, xs, ys, progress, checkpoint_path=None):
+    def _adaptive_render(self, cam_params, key, xs, ys, progress, checkpoint_path=None, fp=""):
         """Adaptive sampling with host re-packing (pathtracer.cpp:862-868).
 
         Stage-major pipelined: within a stage every tile's batch is
@@ -440,6 +469,10 @@ class Renderer:
                 "stage" in ck
                 and int(ck["n"]) == n
                 and int(ck["ns_aa"]) == self.ns_aa
+                # spb defines the stage schedule AND the RNG sample offsets;
+                # resuming under a different -a batch size would misalign both
+                and ("spb" in ck and int(ck["spb"]) == spb)
+                and ("fp" in ck and str(ck["fp"]) == fp)
             ):
                 film, s1, s2 = ck["film"], ck["s1"], ck["s2"]
                 count, active = ck["count"], ck["active"]
@@ -507,7 +540,7 @@ class Renderer:
             if checkpoint_path is not None:
                 np.savez(
                     checkpoint_path,
-                    stage=si + 1, s_done=s_done, n=n, ns_aa=self.ns_aa,
+                    stage=si + 1, s_done=s_done, n=n, ns_aa=self.ns_aa, spb=spb, fp=fp,
                     film=film, s1=s1, s2=s2, count=count, active=active,
                     stats=stats,
                 )

@@ -57,9 +57,11 @@ bundle = SceneBundle(
     lights=lights_to_device(scene.lights),
     env=None,
 )
-# depth 1, 1 spp: the smallest program that still exercises the sharded
-# trace + NEE + counters — budget for a loaded CI host (VERDICT r3 item 6)
-settings = make_settings(scene.lights, ns_aa=1, max_ray_depth=1, ns_area_light=1, indirect=False)
+# depth 2 at 1 spp: the smallest program that still exercises the sharded
+# INDIRECT bounce loop (RR + bounce-scan stats psum) across processes —
+# budgeted for a loaded CI host (VERDICT r3 item 6; review r4: dropping to
+# depth 1 would leave the distributed indirect path untested)
+settings = make_settings(scene.lights, ns_aa=1, max_ray_depth=2, ns_area_light=1, indirect=True)
 width = height = 16
 cam = Camera()
 cam.configure(info.camera, width, height)

@@ -305,7 +305,8 @@ def test_adaptive_per_stage_checkpoint_resume(dae_dir, tmp_path):
     illum = (0.2126 * part[..., 0] + 0.7152 * part[..., 1] + 0.0722 * part[..., 2])
     np.savez(
         ck,
-        stage=1, s_done=sched_first, n=n, ns_aa=16,
+        stage=1, s_done=sched_first, n=n, ns_aa=16, spb=sched_first,
+        fp=r3._checkpoint_fingerprint(None),
         film=part[ys_o, xs_o] * sched_first,
         s1=(illum[ys_o, xs_o] * sched_first).astype(np.float64),
         s2=np.full(n, 1e6),  # fabricated variance: no pixel converges early
@@ -367,3 +368,26 @@ def test_cli_profiler_trace(dae_dir, tmp_path):
     assert out.exists()
     # a non-empty trace directory was produced (plugins/profile/<ts>/...)
     assert tdir.exists() and any(tdir.rglob("*")), list(tdir.rglob("*"))
+
+
+def test_checkpoint_rejects_foreign_render(dae_dir, tmp_path):
+    """A checkpoint from a DIFFERENT render (other seed/scene) is not resumed.
+
+    Review r4 finding: the resume gates matched on shape alone, so a stale
+    file could graft another render's radiance into the film.  The
+    fingerprint (scene + camera + seed + sampling plan) rejects it.
+    """
+    ck = str(tmp_path / "ck.npz")
+    r_a = _small_renderer(dae_dir / "pyramid.dae", seed=1, tile_pixels=256)
+    hdr_a, _ = r_a.render(progress=False, checkpoint_path=ck)
+
+    # rewind the cursor so a resume WOULD skip tiles if accepted
+    data = dict(np.load(ck))
+    data["film"] = data["film"] * 0 + 7.0
+    data["next_tile"] = 2
+    np.savez(ck, **data)
+
+    # different seed -> different render identity: must re-render everything
+    r_b = _small_renderer(dae_dir / "pyramid.dae", seed=2, tile_pixels=256)
+    hdr_b, _ = r_b.render(progress=False, checkpoint_path=ck)
+    assert not (hdr_b == 7.0).any()  # corrupted foreign film was discarded
