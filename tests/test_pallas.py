@@ -392,3 +392,45 @@ def test_group_walk_matches_default():
         )
         for a, b_, name in zip(got[:5], base[:5], ["t", "prim", "b1", "b2", "found"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_), err_msg=name)
+
+
+def test_group_walk_matches_default_anyhit():
+    """Group walk parity for ANY-HIT (early-exit loop) queries too."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lens_flare_tpu.accel.wide import build_wide_bvh
+    from lens_flare_tpu.ops.intersect_pallas import PallasScene, intersect_pallas
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=40)
+    wb = build_wide_bvh(scene.tri_p)
+    ps = PallasScene(wb, scene.sph_center, scene.sph_radius, scene.num_triangles)
+    assert ps.b1 > 1
+
+    n = 512
+    rng = np.random.default_rng(3)
+    o = np.stack(
+        [rng.uniform(-9, 9, n), rng.uniform(-9, 9, n), rng.uniform(2.0, 4.0, n)],
+        axis=-1,
+    ).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_lo = jnp.full(n, 1e-4)
+    # mix of live and dead lanes, finite and infinite intervals
+    t_hi = jnp.asarray(
+        np.where(np.arange(n) % 3 == 0, 0.0, np.where(np.arange(n) % 3 == 1, 5.0, 1e30)),
+        jnp.float32,
+    )
+
+    base = intersect_pallas(
+        ps, jnp.asarray(o), jnp.asarray(d), t_lo, t_hi, interpret=True, any_hit=True
+    )
+    for tbv in (2, 4):
+        got = intersect_pallas(
+            ps, jnp.asarray(o), jnp.asarray(d), t_lo, t_hi,
+            interpret=True, any_hit=True, top_batch=tbv,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[4]), np.asarray(base[4]), err_msg=f"TB={tbv} occlusion"
+        )
