@@ -243,6 +243,7 @@ def bench_terrain_1080p(width=1920, height=1080, n_quads=512, spp=1, depth=4, ru
         "frame_s": round(dt, 4),
         "mrays_traced_per_s": round(rays / dt / 1e6, 3),
         "rays_traced": int(rays),
+        "zero_rays_skipped": int(float(stats[:, 2].sum()) / runs),
         "isects_per_ray": round(float(stats[:, 1].sum()) / float(max(stats[:, 0].sum(), 1.0)), 2),
         "flare_composite_s": round(comp_dt, 4),
     }
