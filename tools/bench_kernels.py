@@ -119,6 +119,9 @@ def main():
                 )
             )
             dt = timeit(fn, o, d, lo, hi)
+            out = fn(o, d, lo, hi)
+            tests = float(np.asarray(out[5]).sum())
+            live = float(np.asarray(hi > lo).sum())
             row = {
                 "scene": scene_name,
                 "tris": int(r.scene.num_triangles),
@@ -126,6 +129,10 @@ def main():
                 "lanes": args.n,
                 "ms": round(dt * 1e3, 3),
                 "mrays_per_s": round(args.n / dt / 1e6, 2),
+                # tree-quality signal: counting basis differs between the
+                # brute and tree kernels (see docs/PERFORMANCE.md), compare
+                # within a scene/wavefront series only
+                "tests_per_live_ray": round(tests / max(live, 1.0), 2),
             }
             rows.append(row)
             print(json.dumps(row))
