@@ -208,30 +208,54 @@ def _trace_stats(t_hi, tests):
     return jnp.stack([rays, jnp.sum(tests.astype(jnp.float32)), 0.0])
 
 
+def _detach(x):
+    """stop_gradient over a whole pytree."""
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, x)
+
+
 def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
     """Closest-hit through the Pallas kernel when available, else the XLA path.
 
     Returns (Hit, stats) with stats = [rays traced, intersection tests].
+
+    Differentiability contract (BASELINE north star; SURVEY.md section 7 hard
+    part 3): the trace is a *non-differentiable visibility oracle*.  Inputs
+    and geometry tables are detached before the traversal kernels, so no
+    cotangent ever reaches the Pallas call (which has no VJP rule) or the
+    lax.while_loop (whose reverse mode JAX does not support), and the
+    returned hit (t, prim, barycentrics, normal) is treated as a constant.
+    ``jax.grad`` of a rendered pixel therefore flows through the *shading*
+    chain only — emitter radiance, albedo/reflectance, light radiance and
+    envmap texels all receive exact gradients of the fixed-RNG estimator
+    (the discrete hit structure is piecewise constant in those parameters,
+    so detaching it is exact, not an approximation; see
+    tests/test_diff_render.py for the finite-difference checks).  The
+    reference chain being differentiated is
+    ``est_radiance_global_illumination`` (pathtracer.cpp:282-302).
     """
+    o, d, t_lo, t_hi = _detach((o, d, t_lo, t_hi))
+    scene = _detach(bundle.scene)
     if bundle.pscene is not None:
         from ..ops.intersect_pallas import intersect_pallas
 
-        if bundle.pscene.shade:
+        pscene = _detach(bundle.pscene)
+        if pscene.shade:
             # large-table scenes: winner shading rows come straight from the
             # kernel — skips the ~2.7 ms/262k-lane finalize_hit row gather
             t, prim, b1, b2, found, tests, shade_cm = intersect_pallas(
-                bundle.pscene, o, d, t_lo, t_hi, return_shade=True
+                pscene, o, d, t_lo, t_hi, return_shade=True,
+                interpret=pscene.interpret,
             )
             hit = finalize_hit(
-                bundle.scene, o, d, t, prim, b1, b2, found, shade_cm=shade_cm
+                scene, o, d, t, prim, b1, b2, found, shade_cm=shade_cm
             )
         else:
             t, prim, b1, b2, found, tests = intersect_pallas(
-                bundle.pscene, o, d, t_lo, t_hi
+                pscene, o, d, t_lo, t_hi, interpret=pscene.interpret
             )
-            hit = finalize_hit(bundle.scene, o, d, t, prim, b1, b2, found)
+            hit = finalize_hit(scene, o, d, t, prim, b1, b2, found)
     else:
-        hit, tests = intersect_rays(bundle.scene, o, d, t_lo, t_hi, return_tests=True)
+        hit, tests = intersect_rays(scene, o, d, t_lo, t_hi, return_tests=True)
     return _orient_normals(bundle, d, hit), _trace_stats(t_hi, tests)
 
 
@@ -262,7 +286,13 @@ def _orient_normals(bundle: SceneBundle, d, hit):
 
 
 def trace_occluded(bundle: SceneBundle, o, d, t_lo, t_hi):
-    """Any-hit shadow query. Returns (occluded, stats)."""
+    """Any-hit shadow query. Returns (occluded, stats).
+
+    Non-differentiable like :func:`trace_closest` — visibility is detached
+    (the occluded mask is boolean anyway; detaching the inputs keeps
+    ``jax.grad`` from ever needing a VJP for the any-hit kernels).
+    """
+    o, d, t_lo, t_hi = _detach((o, d, t_lo, t_hi))
     if bundle.pscene is not None:
         from ..ops.intersect_pallas import intersect_pallas
 
@@ -275,11 +305,14 @@ def trace_occluded(bundle: SceneBundle, o, d, t_lo, t_hi):
         # (An earlier note here claimed any-hit was slower — that A/B was
         # timed with jax.block_until_ready, which does not synchronize
         # through the axon tunnel and measured dispatch, not the device.)
+        pscene = _detach(bundle.pscene)
         _, prim, _, _, found, tests = intersect_pallas(
-            bundle.pscene, o, d, t_lo, t_hi, any_hit=True
+            pscene, o, d, t_lo, t_hi, any_hit=True, interpret=pscene.interpret
         )
         return found, _trace_stats(t_hi, tests)
-    found, tests = occluded_rays(bundle.scene, o, d, t_lo, t_hi, return_tests=True)
+    found, tests = occluded_rays(
+        _detach(bundle.scene), o, d, t_lo, t_hi, return_tests=True
+    )
     return found, _trace_stats(t_hi, tests)
 
 

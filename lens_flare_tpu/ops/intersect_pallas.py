@@ -926,7 +926,11 @@ class PallasScene:
     # registered as a pytree (bottom of module) so a PallasScene can ride
     # inside jit-traced bundles; the cluster shape is static aux data
 
-    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None, shade_rows=None):
+    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None, shade_rows=None, interpret=False):
+        # interpret=True runs the kernels through the Pallas interpreter
+        # (CPU tests of code paths that normally only exist on TPU, e.g.
+        # the differentiable-render FD checks in tests/test_diff_render.py)
+        self.interpret = bool(interpret)
         self.top = jnp.asarray(wide_bvh.top_boxes)
         b1, b2, k = wide_bvh.b1, wide_bvh.b2, wide_bvh.k
         n_nodes = b1 * b2
@@ -1047,7 +1051,7 @@ def _pscene_flatten(ps):
     )
     aux = (
         ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
-        ps.brute, ps.s_pad, ps.s_real, ps.shade,
+        ps.brute, ps.s_pad, ps.s_real, ps.shade, ps.interpret,
     )
     return children, aux
 
@@ -1060,7 +1064,7 @@ def _pscene_unflatten(aux, children):
     ) = children
     (
         ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
-        ps.brute, ps.s_pad, ps.s_real, ps.shade,
+        ps.brute, ps.s_pad, ps.s_real, ps.shade, ps.interpret,
     ) = aux
     return ps
 
