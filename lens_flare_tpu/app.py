@@ -263,10 +263,11 @@ class Application:
             self.mouse_x, self.mouse_y = x, y
         if button == LEFT:
             if self.mode == Mode.RENDER and self.render_cell:
-                # raw y: our film, display and mouse all share the top-down
-                # row convention (the reference flips screenH - y only
-                # because its film is bottom-up, application.cpp:566)
-                self.cell_tl = (self.mouse_x, self.mouse_y)
+                # screen (top-down cursor) -> film (bottom-up) coords: the
+                # reference's screenH - y flip (application.cpp:556).  The
+                # film really is bottom-up — proven row-for-row against the
+                # C++ binary's PNGs (tests/test_reference_binary.py).
+                self.cell_tl = (self.mouse_x, self.screen_h - self.mouse_y)
                 self.cell_br = self.cell_tl
             self.left_down = True
         elif button == RIGHT:
@@ -294,8 +295,8 @@ class Application:
                 self.start_raytracing()
         elif button == RIGHT:
             if self.mode == Mode.RENDER:
-                # raw y (see mouse_pressed note on the row convention)
-                self.autofocus(self.mouse_x, self.mouse_y)
+                # screenH - y: screen -> film rows (application.cpp:587)
+                self.autofocus(self.mouse_x, self.screen_h - self.mouse_y)
                 self.start_raytracing()
             self.right_down = False
         elif button == MIDDLE:
@@ -310,7 +311,8 @@ class Application:
 
     def _mouse1_dragged(self, x, y):
         if self.mode == Mode.RENDER:
-            self.cell_br = (x, y)
+            # screenH - y: screen -> film rows (application.cpp:606)
+            self.cell_br = (x, self.screen_h - y)
             return
         dx = x - self.mouse_x
         dy = y - self.mouse_y
@@ -571,6 +573,6 @@ class Application:
         hdr = self._film / np.maximum(self._counts, 1)[..., None]
         hdr = self.renderer.composite_flare(hdr)
         path = f"{self.filename}.png"
-        img.save_hdr_png(path, hdr)
+        img.save_hdr_png(path, hdr, flip_y=True)  # film is bottom-up
         self._msg(f"[PathTracer] saved to {path}")
         return path

@@ -213,10 +213,18 @@ def _detach(x):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, x)
 
 
-def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
+def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi, coherent=False):
     """Closest-hit through the Pallas kernel when available, else the XLA path.
 
     Returns (Hit, stats) with stats = [rays traced, intersection tests].
+
+    ``coherent``: hint that the wavefront is camera-coherent (primary rays).
+    On HBM-STREAMED scenes the in-kernel shade-row ring wins on incoherent
+    bounce wavefronts (40.7 -> 35.5 ms per 262k lanes at 1M tris, measured
+    v5e) but loses on coherent primaries (105.7 -> 113.2 ms: they activate
+    nearly every top, so the second page ring adds DMA bytes faster than the
+    finalize gather it saves) — primaries keep the row gather.  VMEM-mode
+    shade tables have no such tradeoff (no DMA) and ignore the hint.
 
     Differentiability contract (BASELINE north star; SURVEY.md section 7 hard
     part 3): the trace is a *non-differentiable visibility oracle*.  Inputs
@@ -239,7 +247,12 @@ def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi):
         from ..ops.intersect_pallas import intersect_pallas
 
         pscene = _detach(bundle.pscene)
-        if pscene.shade:
+        if pscene.shade and (coherent and pscene.stream):
+            t, prim, b1, b2, found, tests = intersect_pallas(
+                pscene, o, d, t_lo, t_hi, interpret=pscene.interpret
+            )
+            hit = finalize_hit(scene, o, d, t, prim, b1, b2, found)
+        elif pscene.shade:
             # large-table scenes: winner shading rows come straight from the
             # kernel — skips the ~2.7 ms/262k-lane finalize_hit row gather
             t, prim, b1, b2, found, tests, shade_cm = intersect_pallas(
@@ -546,7 +559,7 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     t_hi = jnp.full(n_lanes, cam.f_clip)
     if valid is not None:
         t_hi = jnp.where(valid, t_hi, 0.0)  # padding lanes trace nothing
-    hit, stats = trace_closest(bundle, o, d, t_lo, t_hi)
+    hit, stats = trace_closest(bundle, o, d, t_lo, t_hi, coherent=True)
 
     # miss -> environment lookup (pathtracer.cpp:290-292)
     if bundle.env is not None:

@@ -89,9 +89,10 @@ STREAM_THRESHOLD_BYTES = 10 * 2**20
 # tops are in flight while one top's chunks are walked.  MEASURED NEUTRAL
 # on v5e (terrain512 bounce 74.1 ms at depth 2 -> 74.5 at depth 4; primary
 # 15.2 -> 15.4): the streamed walk is bound by per-chunk vector-issue work,
-# not HBM latency.  The ring is kept generic (depth 2 == the round-3
-# double buffer).
-STREAM_DEPTH = 4
+# not HBM latency.  The ring is kept generic, but the default is the
+# measured-best depth-2 double buffer — deeper rings only double the
+# streaming VMEM scratch (DEPTH x 9K x B2 floats) for the slight loss above.
+STREAM_DEPTH = 2
 # Tiny scenes skip the cluster tree entirely: one static (S, TILE)
 # Möller-Trumbore pass over every real triangle.  The tree walk's cost on
 # such scenes is per-chunk scalar/sequential overhead (roofline in
@@ -245,7 +246,7 @@ def _make_kernel(
     """
     cb = max(1, min(chunk_batch, b2))
     if shade:
-        assert cb == 1 and not stream and not any_hit
+        assert cb == 1 and not any_hit
     # top batching (tb > 1): walk TB active top clusters per sequential
     # iteration — one fused (TB*B2, TILE) child box matrix, one compaction,
     # and a chunk loop over the UNION of the TB tops' active chunks.
@@ -257,7 +258,15 @@ def _make_kernel(
     assert tb == 1 or (b1 > 1 and not stream)
 
     def kernel(*refs):
-        if stream:
+        if stream and shade:
+            (
+                rays_ref, top_ref, child_ref, tri_ref, shade_ref, sph_ref,
+                out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref,
+                out_shade_ref,
+                top_ids_ref, top_n_ref, ch_ref, ch_ids_ref, ch_n_ref,
+                planes_buf, dma_sems, shade_buf, shade_sems,
+            ) = refs
+        elif stream:
             (
                 rays_ref, top_ref, child_ref, tri_ref, sph_ref,
                 out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref,
@@ -311,12 +320,23 @@ def _make_kernel(
                     tri_ref.at[t_idx], planes_buf.at[slot], dma_sems.at[slot]
                 )
 
+            def shade_dma(slot, s_idx):
+                t_idx = top_ids_ref[s_idx, 0].astype(jnp.int32)
+                return pltpu.make_async_copy(
+                    shade_ref.at[t_idx], shade_buf.at[slot], shade_sems.at[slot]
+                )
+
+            def start_page(slot, s_idx):
+                page_dma(slot, s_idx).start()
+                if shade:
+                    shade_dma(slot, s_idx).start()
+
             # STREAM_DEPTH-deep prefetch ring: page s's DMA issues
             # STREAM_DEPTH-1 tops before its walk needs it
             for _p in range(STREAM_DEPTH - 1):
                 @pl.when(_p < n_top)
                 def _(p=_p):
-                    page_dma(p, p).start()
+                    start_page(p, p)
 
         def top_body(s_idx, _):
             # single-level trees (B1 == 1) skip the top walk entirely
@@ -325,10 +345,10 @@ def _make_kernel(
                 # prefetch STREAM_DEPTH-1 tops ahead while walking this one
                 @pl.when(s_idx + STREAM_DEPTH - 1 < n_top)
                 def _():
-                    page_dma(
+                    start_page(
                         jax.lax.rem(s_idx + STREAM_DEPTH - 1, STREAM_DEPTH),
                         s_idx + STREAM_DEPTH - 1,
-                    ).start()
+                    )
 
             # interval clip by what the tile has already resolved — exact:
             # closest-hit shrinks t_hi to the running best t (a box whose
@@ -502,6 +522,9 @@ def _make_kernel(
                 tri_block = planes_buf[slot]  # (9K, B2)
                 n_lanes_blk = b2
                 lane_off = 0
+                if shade:
+                    shade_dma(slot, s_stream_idx).wait()
+                    shade_block = shade_buf[slot]  # (10K, B2)
             else:
                 # all B2 children of one top cluster live inside ONE
                 # 128-aligned lane block (choose_shape keeps b2 | 128), so
@@ -1011,10 +1034,12 @@ class PallasScene:
         shade_bytes = 10 * k * n_nodes * 4
         self.shade = bool(
             shade_rows is not None
-            and not self.stream
             and not (b1 == 1)  # single-level scenes use CB=2 + one-hot lookup
             and num_tris > 512
-            and 9 * k * n_nodes * 4 + shade_bytes <= SHADE_THRESHOLD_BYTES
+            and (
+                self.stream  # HBM-paged shade rows ride their own DMA ring
+                or 9 * k * n_nodes * 4 + shade_bytes <= SHADE_THRESHOLD_BYTES
+            )
         )
         if self.shade:
             srows = np.zeros((n_nodes * k, 10), np.float32)
@@ -1023,9 +1048,19 @@ class PallasScene:
             sp = np.ascontiguousarray(
                 srows.reshape(n_nodes, k, 10).transpose(2, 1, 0).reshape(10 * k, n_nodes)
             )
-            if n_nodes < 128:
-                sp = np.pad(sp, ((0, 0), (0, 128 - n_nodes)))
-            self.shade_planes = jnp.asarray(sp)
+            if self.stream:
+                # per-top HBM pages (B1, 10K, B2), same layout family as the
+                # triangle pages; streamed alongside them so 524k-tri scenes
+                # skip the ~2.7 ms/262k-lane finalize_hit row gather too
+                self.shade_planes = jnp.asarray(
+                    np.ascontiguousarray(
+                        sp.reshape(10 * k, b1, b2).transpose(1, 0, 2)
+                    )
+                )
+            else:
+                if n_nodes < 128:
+                    sp = np.pad(sp, ((0, 0), (0, 128 - n_nodes)))
+                self.shade_planes = jnp.asarray(sp)
         else:
             self.shade_planes = jnp.zeros((8, 128), jnp.float32)
         self._finish_init(wide_bvh, sph_center, sph_radius, num_tris)
@@ -1137,6 +1172,12 @@ def _launch(
             pltpu.VMEM((STREAM_DEPTH, 9 * k, b2), jnp.float32),
             pltpu.SemaphoreType.DMA((STREAM_DEPTH,)),
         ]
+        if shade:
+            # shade-row pages (B1, 10K, B2) ride their own DMA ring
+            extra_scratch += [
+                pltpu.VMEM((STREAM_DEPTH, 10 * k, b2), jnp.float32),
+                pltpu.SemaphoreType.DMA((STREAM_DEPTH,)),
+            ]
     else:
         tri_spec = pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         extra_scratch = []
@@ -1163,8 +1204,12 @@ def _launch(
     inputs = [rays, top, child, tri, sph]
     if shade:
         # shade planes ride after tri; winner rows come back as (10, N)
-        in_specs.insert(4, pl.BlockSpec(
-            shade_arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        in_specs.insert(4, (
+            pl.BlockSpec(memory_space=pl.ANY)  # HBM pages, DMA'd per top
+            if stream
+            else pl.BlockSpec(
+                shade_arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
         ))
         inputs.insert(4, shade_arr)
         out_specs.append(

@@ -103,8 +103,13 @@ class Renderer:
         self.camera.configure(info.camera, self.width, self.height)
         place_from_scene_info(self.camera, info, scene.bbox_min, scene.bbox_max)
         if self.camera_settings:
+            # reference parity (main.cpp:192-194 after resize at 187-189):
+            # the settings file restores intrinsics + pose, but the frame
+            # size stays the -r request — the file's screenW/H are NOT
+            # adopted (Camera::load_settings overwrites the camera's copy,
+            # the renderer buffer keeps its own)
             self.camera.load_settings(self.camera_settings)
-            self.width, self.height = self.camera.screen_w, self.camera.screen_h
+            self.camera.screen_w, self.camera.screen_h = self.width, self.height
         self.camera.lens_radius = self.lens_radius
         self.camera.focal_distance = self.focal_distance
         self._build()
@@ -266,7 +271,39 @@ class Renderer:
                 h.update(np.asarray(leaf).tobytes())
         h.update(np.asarray(self.scene.bbox_min).tobytes())
         h.update(np.asarray(self.scene.bbox_max).tobytes())
+        # scene CONTENT, not just geometry extents: a light-radiance or
+        # material retune with identical geometry changes every pixel's
+        # estimate, and an old checkpoint must not resume into it
+        if self.bundle is not None:
+            for group in (self.bundle.lights, self.bundle.bsdfs):
+                for leaf in jax.tree_util.tree_leaves(group):
+                    h.update(np.asarray(leaf).tobytes())
+            if self.bundle.env is not None:
+                h.update(np.asarray(self.bundle.env.data).tobytes())
         return h.hexdigest()
+
+    @staticmethod
+    def _atomic_savez(path, **arrays) -> None:
+        """Crash-safe checkpoint write: temp file + os.replace.
+
+        A plain np.savez over the previous checkpoint leaves a corrupt,
+        unresumable file if the process dies mid-write — the failure the
+        checkpoint exists to survive.
+        """
+        import os
+
+        tmp = str(path) + ".tmp"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _load_checkpoint(path):
+        """np.load that treats an unreadable/corrupt checkpoint as absent."""
+        try:
+            return np.load(path)
+        except Exception as e:  # truncated zip, bad magic, ...
+            print(f"[PathTracer] ignoring unreadable checkpoint {path}: {e}")
+            return None
 
     def _shard_input(self, arr):
         """Place a wavefront array on the mesh batch axis (no-op single-device)."""
@@ -335,8 +372,12 @@ class Renderer:
 
         fp = self._checkpoint_fingerprint(cell)
         start_tile = 0
-        if checkpoint_path is not None and Path(checkpoint_path).exists():
-            ck = np.load(checkpoint_path)
+        ck = (
+            self._load_checkpoint(checkpoint_path)
+            if checkpoint_path is not None and Path(checkpoint_path).exists()
+            else None
+        )
+        if ck is not None:
             # "next_tile" marks the tiled/completed format; adaptive renders
             # persist per-STAGE state instead (resumed in _adaptive_render)
             if (
@@ -369,7 +410,7 @@ class Renderer:
                 film[ys, xs] = rad
                 counts[ys, xs] = cnt
                 if checkpoint_path is not None:
-                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=n_tiles, n_tiles=n_tiles, fp=fp)
+                    self._atomic_savez(checkpoint_path, film=film, counts=counts, next_tile=n_tiles, n_tiles=n_tiles, fp=fp)
         else:
             for ti in range(start_tile, n_tiles):
                 sl = slice(ti * tile, min((ti + 1) * tile, n_px))
@@ -395,7 +436,7 @@ class Renderer:
                 film[ys[sl], xs[sl]] = rad
                 counts[ys[sl], xs[sl]] = cnt
                 if checkpoint_path is not None:
-                    np.savez(checkpoint_path, film=film, counts=counts, next_tile=ti + 1, n_tiles=n_tiles, fp=fp)
+                    self._atomic_savez(checkpoint_path, film=film, counts=counts, next_tile=ti + 1, n_tiles=n_tiles, fp=fp)
                 if progress:
                     print(f"\r[PathTracer] Rendering... {100 * (ti + 1) // n_tiles}%", end="", flush=True)
 
@@ -463,8 +504,12 @@ class Renderer:
 
         start_stage = 0
         s_done = 0
-        if checkpoint_path is not None and Path(checkpoint_path).exists():
-            ck = np.load(checkpoint_path)
+        ck = (
+            self._load_checkpoint(checkpoint_path)
+            if checkpoint_path is not None and Path(checkpoint_path).exists()
+            else None
+        )
+        if ck is not None:
             if (
                 "stage" in ck
                 and int(ck["n"]) == n
@@ -538,7 +583,7 @@ class Renderer:
             ci = 1.96 * np.sqrt(var / nc)
             active = active[ci > self.max_tolerance * s1[active] / nc]
             if checkpoint_path is not None:
-                np.savez(
+                self._atomic_savez(
                     checkpoint_path,
                     stage=si + 1, s_done=s_done, n=n, ns_aa=self.ns_aa, spb=spb, fp=fp,
                     film=film, s1=s1, s2=s2, count=count, active=active,
@@ -558,10 +603,15 @@ class Renderer:
     def render_to_file(self, filename, cell=None) -> np.ndarray:
         hdr, counts = self.render(cell=cell)
         hdr = self.composite_flare(hdr)
-        img.save_hdr_png(filename, hdr)
+        # film is bottom-up (see save_hdr_png docstring): flip on save like
+        # the reference's save_image / save_sampling_rate
+        img.save_hdr_png(filename, hdr, flip_y=True)
         rate_path = Path(filename)
         rate_path = rate_path.with_name(rate_path.stem + "_rate.png")
-        img.save_png(rate_path, img.sampling_rate_heatmap(counts, max(self.ns_aa, 1)))
+        img.save_png(
+            rate_path,
+            img.sampling_rate_heatmap(counts, max(self.ns_aa, 1))[::-1],
+        )
         print(f"[PathTracer] saved to {filename}")
         return hdr
 

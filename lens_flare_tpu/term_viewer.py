@@ -22,7 +22,13 @@ import numpy as np
 
 
 def frame_to_ansi(frame: np.ndarray, cols: int, rows: int) -> str:
-    """(H, W, 3) float [0,1] -> truecolor half-block string (2 px per row)."""
+    """(H, W, 3) float [0,1] -> truecolor half-block string (2 px per row).
+
+    The film is bottom-up (utils/image.py:save_hdr_png); flip so the
+    terminal shows the image right-side-up, like the reference's GL window
+    (whose glDrawPixels consumes the bottom-up buffer natively).
+    """
+    frame = frame[::-1]
     h, w = frame.shape[:2]
     # nearest resample to (2*rows, cols)
     yi = (np.linspace(0, h - 1e-3, 2 * rows)).astype(int)
@@ -112,7 +118,10 @@ def run_viewer(app) -> int:
     btn_map = {0: LEFT, 1: MIDDLE, 2: RIGHT}
 
     def term_to_px(x, y):
-        # terminal cell -> film pixel; both are top-down row conventions
+        # terminal cell -> top-down screen coords, like raw GLFW cursor
+        # positions; the Application applies the reference's screenH - y
+        # flip where film (bottom-up) coordinates are needed
+        # (application.cpp:556,566,587)
         return (x - 1) * app.screen_w / cols, (y - 1) * app.screen_h / rows
 
     with TerminalIO() as io:

@@ -101,8 +101,14 @@ def save_png(path, ldr: np.ndarray) -> None:
 def save_hdr_png(path, hdr: np.ndarray, flip_y: bool = False) -> None:
     """Gamma-correct an HDR film and save, like ``save_image`` (raytraced_renderer.cpp:717-755).
 
-    The reference renders with y=0 at the bottom and flips rows on save;
-    our film is already top-down so ``flip_y`` defaults off.
+    Film row 0 is the BOTTOM of the view (sensor y=0 maps to cy=-tan(vFov/2)
+    in ``generate_ray``, camera.cpp:278-305 — same formula both frameworks),
+    so PNG writers pass ``flip_y=True`` to emit a right-side-up image, the
+    exact counterpart of the reference's ``save_image`` y-flip.  Proven
+    against the real C++ binary: tests/test_reference_binary.py renders the
+    same camera both sides and the PNGs match row-for-row only with the flip
+    (an earlier revision believed the film was top-down; the golden test
+    falsified that).
     """
     ldr = to_color(np.asarray(hdr))
     if flip_y:

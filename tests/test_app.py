@@ -173,14 +173,16 @@ def test_cell_render(app_factory):
     app.keyboard_event("r")
     app.keyboard_event("C")  # cell mode on
     assert app.render_cell
-    # drag-select a cell; mouse, display and film all share top-down rows
-    # (no screenH - y flip — that compensates the reference's bottom-up
-    # film, which ours is not), so the bounds are the raw drag rectangle
+    # drag-select a cell: cursor coords are top-down (like raw GLFW
+    # positions) and the Application applies the reference's screenH - y
+    # flip into the bottom-up film (application.cpp:556,606 — the film
+    # really is bottom-up, proven in tests/test_reference_binary.py), so
+    # dragging rows 12..28 selects film rows 36-28 .. 36-12
     app.mouse_pressed(LEFT, 8.0, 12.0)
     app._mouse1_dragged(24.0, 28.0)
     app.mouse_released(LEFT)
     x0, y0, dx, dy = app._cell_bounds()
-    assert (x0, y0, dx, dy) == (8, 12, 16, 16)
+    assert (x0, y0, dx, dy) == (8, 8, 16, 16)
     app.frame()
     inside = app._counts[y0 : y0 + dy, x0 : x0 + dx]
     assert inside.min() >= 1

@@ -148,6 +148,16 @@ def test_config4_flare_composite_1080p_budget(dae_dir):
     pipe = FlarePipeline.from_renderer(r)
     assert pipe is not None
     hdr = jnp.zeros((1080, 1920, 3))
+    # compiled-cost budget: host-independent guard against complexity
+    # regressions.  Measured 8.45 GFLOP / 3.07 GB on this config; the
+    # reference's per-pixel DFT formulation is ~6e12 multiplies
+    # (pathtracer.cpp:947-1041), 3 orders of magnitude over budget — a
+    # wall-clock bound alone would need a 10x regression to trip on a
+    # fast host.
+    ca = jax.jit(pipe.composite).lower(hdr).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    assert ca.get("flops", 0.0) < 5e10, f"composite FLOPs blew up: {ca.get('flops'):.3g}"
+    assert ca.get("bytes accessed", 0.0) < 2e10
     out = np.asarray(pipe.composite(hdr))  # compile
     t0 = time.perf_counter()
     out = np.asarray(pipe.composite(hdr))

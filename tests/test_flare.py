@@ -179,3 +179,52 @@ def test_find_sun_on_vertical_axis():
     # in-domain values still match atan(y/x)
     _, _, _, angle = find_sun(table(), FakeCamera((0.5, 0.25)))
     assert angle == pytest.approx(math.atan(0.25 / 0.5))
+
+
+def test_multi_sun_starburst_and_falloff_semantics():
+    """Two-sun semantics parity with raytrace_starburst (pathtracer.cpp:947-1063).
+
+    The reference computes ONE starburst pattern phase-centered on
+    flare_origins[0] (compute_phase(0, ...), pathtracer.cpp:968/918) and
+    multiplies it by EVERY sun's radiance (the per-light loop at 996-1000)
+    — a documented quirk, not per-sun patterns.  The falloff glow, by
+    contrast, IS per-sun (per-light origins at 1052-1056).  The pipeline
+    must reproduce both behaviors exactly.
+    """
+    from lens_flare_tpu.flare.pipeline import FlarePipeline
+
+    ap = ApertureTexture.from_array(_toy_aperture(16))
+    o2 = np.array([[0.3, 0.6], [0.7, 0.2]], np.float32)
+    r2 = np.array([[2.0, 1.0, 0.5], [0.5, 3.0, 1.0]], np.float32)
+
+    def pipe(origins, radiances):
+        return FlarePipeline(
+            width=24, height=20,
+            flare_origins=np.asarray(origins, np.float32).reshape(-1, 2),
+            flare_radiances=np.asarray(radiances, np.float32).reshape(-1, 3),
+            axis_ray=np.asarray(origins, np.float32).reshape(-1, 2)[0],
+            angle_to_sun=0.5,
+            aperture=ap,
+            flare_intensity=1.0,
+            flare_radius=3.0,
+        )
+
+    both = pipe(o2, r2)
+    # starburst: pattern of sun 0 x (r0 + r1) — NOT sum of per-sun patterns
+    sb_both = np.asarray(both.starburst())
+    sb_sum_rad = np.asarray(pipe(o2[:1], (r2[0] + r2[1])[None]).starburst())
+    np.testing.assert_allclose(sb_both, sb_sum_rad, rtol=1e-6, atol=1e-7)
+    sb_per_sun = (
+        np.asarray(pipe(o2[:1], r2[:1]).starburst())
+        + np.asarray(pipe(o2[1:], r2[1:]).starburst())
+    )
+    assert np.abs(sb_both - sb_per_sun).max() > 1e-4  # distinct semantics
+
+    # falloff: per-sun origins, additive (shared jitter key, like the shared
+    # gridSampler sample inside one pixel's loop)
+    f_both = np.asarray(both.falloff())
+    f_split = (
+        np.asarray(pipe(o2[:1], r2[:1]).falloff())
+        + np.asarray(pipe(o2[1:], r2[1:]).falloff())
+    )
+    np.testing.assert_allclose(f_both, f_split, rtol=1e-5, atol=1e-6)

@@ -434,3 +434,46 @@ def test_group_walk_matches_default_anyhit():
         np.testing.assert_array_equal(
             np.asarray(got[4]), np.asarray(base[4]), err_msg=f"TB={tbv} occlusion"
         )
+
+
+def test_stream_shade_rows_match_vmem():
+    """Stream-mode in-kernel shade rows (round-5): the HBM-paged shade ring
+    must return exactly the same winner rows as the VMEM shade path, so
+    524k-tri streamed scenes skip the finalize_hit row gather too."""
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=64)  # 8192 tris -> multi-level tree
+    n_rays = 512
+    cam, o, d = _camera_rays(scene, n_rays)
+    t_lo = jnp.full(n_rays, cam.n_clip, jnp.float32)
+    t_hi = jnp.full(n_rays, cam.f_clip, jnp.float32)
+    n_t = scene.num_triangles
+    shade_rows = np.concatenate(
+        [
+            np.asarray(scene.tri_n, np.float32).reshape(n_t, 9),
+            np.asarray(scene.tri_bsdf, np.float32).reshape(n_t, 1),
+        ],
+        axis=1,
+    )
+    wb = build_wide_bvh(scene.tri_p)
+    ps_v = PallasScene(
+        wb, scene.sph_center, scene.sph_radius, n_t,
+        shade_rows=shade_rows, force_stream=False,
+    )
+    ps_s = PallasScene(
+        wb, scene.sph_center, scene.sph_radius, n_t,
+        shade_rows=shade_rows, force_stream=True,
+    )
+    assert ps_v.shade and ps_s.shade and ps_s.stream
+
+    rv = intersect_pallas(ps_v, o, d, t_lo, t_hi, interpret=True, return_shade=True)
+    rs = intersect_pallas(ps_s, o, d, t_lo, t_hi, interpret=True, return_shade=True)
+    for a, b in zip(rv, rs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the rows really are the winner's table rows
+    prim = np.asarray(rs[1])
+    mask = np.asarray(rs[4]) & (prim >= 0) & (prim < n_t)
+    assert mask.sum() > 100
+    np.testing.assert_array_equal(
+        np.asarray(rs[6])[:, mask].T, shade_rows[prim[mask]]
+    )

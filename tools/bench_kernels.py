@@ -137,6 +137,23 @@ def main():
             rows.append(row)
             print(json.dumps(row))
 
+        # Exercise the COMPILED top_batch>1 group walk on real hardware and
+        # assert it matches the default walk.  TOP_BATCH defaults to 1, so
+        # without this the fused (TB*B2, TILE) path would only ever run in
+        # CPU interpret mode (tests/test_pallas.py) and could silently rot
+        # on TPU (dynamic-slice alignment differs there).
+        if r.bundle.pscene.b1 > 1:
+            o, d, lo, hi = bounce
+            base = intersect_pallas(r.bundle.pscene, o, d, lo, hi)
+            tb = intersect_pallas(r.bundle.pscene, o, d, lo, hi, top_batch=2)
+            for j, name in ((0, "t"), (1, "prim"), (4, "hit")):
+                if not np.array_equal(np.asarray(base[j]), np.asarray(tb[j])):
+                    raise AssertionError(
+                        f"{scene_name}: top_batch=2 group walk diverges on {name}"
+                    )
+            print(f'{{"scene": "{scene_name}", "check": "top_batch2_parity", "ok": true}}')
+            rows.append({"scene": scene_name, "check": "top_batch2_parity", "ok": True})
+
     artifact = {"platform": jax.default_backend(), "lanes": args.n, "kernels": rows}
     if args.out:
         Path(args.out).write_text(json.dumps(artifact, indent=1))

@@ -48,7 +48,7 @@ def main():
     d_theta = 2 * math.pi / args.frames
     for i in range(args.frames):
         hdr, _ = r.render(progress=False)
-        img.save_hdr_png(out / f"frame_{i:03d}.png", hdr)
+        img.save_hdr_png(out / f"frame_{i:03d}.png", hdr, flip_y=True)  # film is bottom-up
         print(f"[Turntable] frame {i + 1}/{args.frames}")
         r.camera.rotate_by(0.0, d_theta)
 
