@@ -92,6 +92,7 @@ STREAM_THRESHOLD_BYTES = 10 * 2**20
 # not HBM latency.  The ring is kept generic, but the default is the
 # measured-best depth-2 double buffer — deeper rings only double the
 # streaming VMEM scratch (DEPTH x 9K x B2 floats) for the slight loss above.
+_MXU_FAST = False  # experiment knob: bf16 matmul (numerically unusable, speed ceiling only)
 STREAM_DEPTH = 2
 # Tiny scenes skip the cluster tree entirely: one static (S, TILE)
 # Möller-Trumbore pass over every real triangle.  The tree walk's cost on
@@ -222,6 +223,7 @@ def _make_kernel(
     chunk_batch: int = 1,
     shade: bool = False,
     top_batch: int = 1,
+    mxu: bool = False,
 ):
     """Kernel factory shared by VMEM-resident and HBM-streaming modes.
 
@@ -247,6 +249,11 @@ def _make_kernel(
     cb = max(1, min(chunk_batch, b2))
     if shade:
         assert cb == 1 and not any_hit
+    if mxu:
+        # MXU coefficient walk: closest-hit, VMEM, one chunk per iteration
+        # (tri_ref carries the (16, B_nodes*128) coefficient planes instead
+        # of the 9K geometry rows)
+        assert cb == 1 and not any_hit and not stream and not shade and top_batch == 1
     # top batching (tb > 1): walk TB active top clusters per sequential
     # iteration — one fused (TB*B2, TILE) child box matrix, one compaction,
     # and a chunk loop over the UNION of the TB tops' active chunks.
@@ -280,6 +287,12 @@ def _make_kernel(
                 out_shade_ref,
                 top_ids_ref, top_n_ref, ch_ref, ch_ids_ref, ch_n_ref,
             ) = refs
+        elif mxu:
+            (
+                rays_ref, top_ref, child_ref, tri_ref, centers_ref, sph_ref,
+                out_t_ref, out_prim_ref, out_bary_ref, out_tests_ref,
+                top_ids_ref, top_n_ref, ch_ref, ch_ids_ref, ch_n_ref,
+            ) = refs
         else:
             (
                 rays_ref, top_ref, child_ref, tri_ref, sph_ref,
@@ -293,6 +306,30 @@ def _make_kernel(
         t_lo = rays[6:7, :]
         t_hi = rays[7:8, :]
         inv_d = [_safe_inv(d[i]) for i in range(3)]
+
+        def mxu_fmat(t_idx):
+            """Per-top feature matrix [1 | o-c | d | g=(d x (o-c)) | 0] (16, TILE).
+
+            Built once per walked top with the top's center subtracted from
+            the origin (precision: see the PallasScene coefficient builder).
+            """
+            lane_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, centers_ref.shape[1]), 1
+            )
+            oneh = (lane_iota == t_idx).astype(jnp.float32)
+            c_col = jnp.sum(centers_ref[:] * oneh, axis=1, keepdims=True)  # (8, 1)
+            oc = [o[i] - c_col[i : i + 1, :] for i in range(3)]
+            g = [
+                d[1] * oc[2] - d[2] * oc[1],
+                d[2] * oc[0] - d[0] * oc[2],
+                d[0] * oc[1] - d[1] * oc[0],
+            ]
+            return jnp.concatenate(
+                [jnp.ones((1, tile), jnp.float32)]
+                + oc + d + g
+                + [jnp.zeros((6, tile), jnp.float32)],
+                axis=0,
+            )
 
         out_t_ref[:] = jnp.full((1, tile), INF, jnp.float32)
         out_prim_ref[:] = jnp.full((1, tile), -1, jnp.int32)
@@ -382,36 +419,42 @@ def _make_kernel(
                 pl.when(alive)(walk_children)
             return s_idx + 1
 
-        def mt_update(ids, lane_mask, masks, comp_j, shade_col=None):
+        def mt_update(ids, lane_mask, masks, comp_j, shade_col=None, mt_vals=None):
             """Fused (CB*K, TILE) Möller-Trumbore test + output updates.
 
             Shared by the per-top chunk walk and the top-batched group walk:
             ids (CB*K, 1) slot ids, lane_mask (CB*K, TILE) live lanes,
             masks (CB, TILE) per-chunk live rows (tests counter), comp_j(j)
             -> (CB*K, 1) triangle component j, shade_col optional (10K, 1).
+            ``mt_vals``: optional precomputed (det, t·det, b1·det, b2·det)
+            (K, TILE) quadruple (the MXU coefficient path) — skips the VPU
+            cross-product chain.
             """
-            p0 = [comp_j(j) for j in range(3)]
-            e1 = [comp_j(j) for j in range(3, 6)]
-            e2 = [comp_j(j) for j in range(6, 9)]
+            if mt_vals is not None:
+                det, tt_n, bb1_n, bb2_n = mt_vals
+            else:
+                p0 = [comp_j(j) for j in range(3)]
+                e1 = [comp_j(j) for j in range(3, 6)]
+                e2 = [comp_j(j) for j in range(6, 9)]
 
-            # s = o - p0   (K, TILE)
-            s = [o[i] - p0[i] for i in range(3)]
-            # s1 = d x e2  (K, TILE)
-            s1 = [
-                d[1] * e2[2] - d[2] * e2[1],
-                d[2] * e2[0] - d[0] * e2[2],
-                d[0] * e2[1] - d[1] * e2[0],
-            ]
-            # s2 = s x e1
-            s2 = [
-                s[1] * e1[2] - s[2] * e1[1],
-                s[2] * e1[0] - s[0] * e1[2],
-                s[0] * e1[1] - s[1] * e1[0],
-            ]
-            det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
-            tt_n = s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]
-            bb1_n = s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]
-            bb2_n = s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]
+                # s = o - p0   (K, TILE)
+                s = [o[i] - p0[i] for i in range(3)]
+                # s1 = d x e2  (K, TILE)
+                s1 = [
+                    d[1] * e2[2] - d[2] * e2[1],
+                    d[2] * e2[0] - d[0] * e2[2],
+                    d[0] * e2[1] - d[1] * e2[0],
+                ]
+                # s2 = s x e1
+                s2 = [
+                    s[1] * e1[2] - s[2] * e1[1],
+                    s[2] * e1[0] - s[0] * e1[2],
+                    s[0] * e1[1] - s[1] * e1[0],
+                ]
+                det = s1[0] * e1[0] + s1[1] * e1[1] + s1[2] * e1[2]
+                tt_n = s2[0] * e2[0] + s2[1] * e2[1] + s2[2] * e2[2]
+                bb1_n = s1[0] * s[0] + s1[1] * s[1] + s1[2] * s[2]
+                bb2_n = s2[0] * d[0] + s2[1] * d[1] + s2[2] * d[2]
 
             if any_hit:
                 # Occlusion-only test: multiply the closest-hit
@@ -513,7 +556,9 @@ def _make_kernel(
             ch_n_ref[:] = ch_n
             n_child = ch_n_ref[0, 0].astype(jnp.int32)
 
-            if stream:
+            if mxu:
+                fmat = mxu_fmat(t_idx)  # per-top recentered features
+            elif stream:
                 slot = jax.lax.rem(s_stream_idx, STREAM_DEPTH)
                 # waiting here (not before the child slab tests) overlaps the
                 # page DMA with the box matrix + compaction work above
@@ -549,6 +594,39 @@ def _make_kernel(
                 ).astype(jnp.float32)
 
             def child_body(it, _):
+                if mxu:
+                    # one 128-aligned lane slice + ONE MXU matmul per chunk:
+                    # (16, 128)^T-contracted with (16, TILE) -> (128, TILE)
+                    # rows [det | t·det | b1·det | b2·det] x K slots
+                    c_idx = ch_ids_ref[jnp.minimum(it, b2 - 1), 0].astype(jnp.int32)
+                    node_c = t_idx * b2 + c_idx
+                    rows_sel = (
+                        jax.lax.broadcasted_iota(jnp.int32, (b2, 1), 0) == c_idx
+                    ).astype(jnp.float32)
+                    masks = jax.lax.dot_general(
+                        rows_sel, ch_ref[:], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, TILE) live-lane row of this chunk
+                    ids = node_c * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                    c_block = tri_ref[
+                        :, pl.ds(pl.multiple_of(node_c * 128, 128), 128)
+                    ]  # (16, 128)
+                    # HIGHEST: default MXU precision is bf16 passes — 4e-3
+                    # relative error on t/b flips hit validity at triangle
+                    # edges (measured); f32 needs the 3-pass mode
+                    outs = jax.lax.dot_general(
+                        c_block, fmat, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST if not _MXU_FAST else jax.lax.Precision.DEFAULT,
+                    )  # (128, TILE)
+                    mt_update(
+                        ids, masks > 0, masks, None,
+                        mt_vals=(
+                            outs[0:k], outs[k : 2 * k],
+                            outs[2 * k : 3 * k], outs[3 * k : 4 * k],
+                        ),
+                    )
+                    return 0
                 # fuse CB active chunks into one (CB*K, TILE) Möller-Trumbore
                 # test; per-chunk scalar work is one compacted-id read + one
                 # one-hot column select (each extracted column has sublane
@@ -949,7 +1027,7 @@ class PallasScene:
     # registered as a pytree (bottom of module) so a PallasScene can ride
     # inside jit-traced bundles; the cluster shape is static aux data
 
-    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None, shade_rows=None, interpret=False):
+    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None, shade_rows=None, interpret=False, mxu=False):
         # interpret=True runs the kernels through the Pallas interpreter
         # (CPU tests of code paths that normally only exist on TPU, e.g.
         # the differentiable-render FD checks in tests/test_diff_render.py)
@@ -1063,6 +1141,68 @@ class PallasScene:
                 self.shade_planes = jnp.asarray(sp)
         else:
             self.shade_planes = jnp.zeros((8, 128), jnp.float32)
+        # MXU Möller-Trumbore coefficient planes (VERDICT r4 item 2): with
+        # features f(ray) = [1 | o | d | g=d x o] every MT quantity is LINEAR
+        # per slot —
+        #   det  = d.(e2 x e1)
+        #   t·det  = o.n - p0.n              (n = e1 x e2)
+        #   b1·det = -g.e2 - d.(e2 x p0)
+        #   b2·det =  g.e1 - d.(p0 x e1)
+        # so one (16, 128)^T x (16, TILE) MXU product per chunk replaces the
+        # VPU cross-product chain.  Layout: (16 feats, B_nodes*128 lanes);
+        # node c's lanes [c*128, (c+1)*128) hold columns out_id*K + slot
+        # (out order det/t/b1/b2) — a 128-ALIGNED dynamic lane slice, no
+        # one-hot extraction.  7x the plane bytes of the 9K geometry rows;
+        # VMEM-resident closest-hit only (the A/B experiment's scope).
+        self.mxu = bool(mxu) and not self.stream and not self.brute
+        if self.mxu:
+            soa_r = wide_bvh.tri_soa.reshape(n_nodes, k, 12)
+            # Per-TOP recentering: the affine form t·det = o.n - p0.n
+            # cancels catastrophically with world-space origins (measured
+            # max rel err 0.66 on terrain64 without it); subtracting the
+            # top cluster's center from both o (in-kernel, once per top)
+            # and p0 (here) restores classic-MT error scale, because a ray
+            # that hits a top's triangle has |o - c_top| ~ |o - p0|.
+            if b1 > 1:
+                tb_ = np.asarray(wide_bvh.top_boxes, np.float64)
+                centers = (tb_[:, 0:3] + tb_[:, 3:6]) / 2.0  # (B1, 3)
+            else:
+                cbx = np.asarray(wide_bvh.child_boxes, np.float64)
+                ok = cbx[:, 0] <= cbx[:, 3]
+                centers = (
+                    (cbx[ok, 0:3].min(axis=0) + cbx[ok, 3:6].max(axis=0)) / 2.0
+                    if ok.any()
+                    else np.zeros(3)
+                )[None]
+            cpad = np.zeros((8, max(b1, 128)), np.float32)
+            cpad[0:3, :b1] = centers.T
+            self.mxu_centers = jnp.asarray(cpad)
+            p0 = soa_r[:, :, 0:3].astype(np.float64) - np.repeat(
+                centers, b2, axis=0
+            )[:, None, :]
+            e1 = soa_r[:, :, 3:6].astype(np.float64)
+            e2 = soa_r[:, :, 6:9].astype(np.float64)
+            n_vec = np.cross(e1, e2)
+            C = np.zeros((n_nodes, 4, k, 16), np.float64)
+            C[:, 0, :, 4:7] = np.cross(e2, e1)  # det <- d
+            C[:, 1, :, 0] = -np.einsum("nkc,nkc->nk", p0, n_vec)  # t const
+            C[:, 1, :, 1:4] = n_vec  # t <- o
+            C[:, 2, :, 4:7] = -np.cross(e2, p0)  # b1 <- d
+            C[:, 2, :, 7:10] = -e2  # b1 <- g
+            C[:, 3, :, 4:7] = -np.cross(p0, e1)  # b2 <- d
+            C[:, 3, :, 7:10] = e1  # b2 <- g
+            # (n_nodes, 4, k, 16) -> (16, n_nodes * 128): lane = node*128 +
+            # out*k + slot, sublane = feature
+            self.mxu_planes = jnp.asarray(
+                np.ascontiguousarray(
+                    C.transpose(3, 0, 1, 2).reshape(16, n_nodes * 4 * k)
+                ),
+                jnp.float32,
+            )
+            assert 4 * k == 128, "mxu mode assumes K = 32 (4 outputs x K = 128 lanes)"
+        else:
+            self.mxu_planes = jnp.zeros((8, 128), jnp.float32)
+            self.mxu_centers = jnp.zeros((8, 128), jnp.float32)
         self._finish_init(wide_bvh, sph_center, sph_radius, num_tris)
 
     def _finish_init(self, wide_bvh, sph_center, sph_radius, num_tris):
@@ -1082,11 +1222,11 @@ class PallasScene:
 def _pscene_flatten(ps):
     children = (
         ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute,
-        ps.brute_map, ps.shade_planes,
+        ps.brute_map, ps.shade_planes, ps.mxu_planes, ps.mxu_centers,
     )
     aux = (
         ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
-        ps.brute, ps.s_pad, ps.s_real, ps.shade, ps.interpret,
+        ps.brute, ps.s_pad, ps.s_real, ps.shade, ps.interpret, ps.mxu,
     )
     return children, aux
 
@@ -1095,11 +1235,11 @@ def _pscene_unflatten(aux, children):
     ps = object.__new__(PallasScene)
     (
         ps.top, ps.child, ps.tri, ps.sph, ps.slot_map, ps.tri_brute,
-        ps.brute_map, ps.shade_planes,
+        ps.brute_map, ps.shade_planes, ps.mxu_planes, ps.mxu_centers,
     ) = children
     (
         ps.b1, ps.b2, ps.k, ps.num_tris, ps.n_spheres, ps.stream,
-        ps.brute, ps.s_pad, ps.s_real, ps.shade, ps.interpret,
+        ps.brute, ps.s_pad, ps.s_real, ps.shade, ps.interpret, ps.mxu,
     ) = aux
     return ps
 
@@ -1112,6 +1252,7 @@ jax.tree_util.register_pytree_node(PallasScene, _pscene_flatten, _pscene_unflatt
     static_argnames=(
         "b1", "b2", "k", "n_spheres", "num_tris", "interpret", "any_hit", "tile",
         "stream", "chunk_batch", "brute", "s_pad", "s_real", "shade", "top_batch",
+        "mxu",
     ),
 )
 def _launch(
@@ -1119,6 +1260,7 @@ def _launch(
     b1, b2, k, n_spheres, num_tris,
     interpret=False, any_hit=False, tile=TILE, stream=False, chunk_batch=None,
     brute=False, s_pad=0, s_real=0, shade=False, shade_arr=None, top_batch=None,
+    mxu=False, mxu_centers=None,
 ):
     n_tiles = rays.shape[1] // tile
     n = rays.shape[1]
@@ -1155,6 +1297,9 @@ def _launch(
         chunk_batch = _auto_chunk_batch(b1, any_hit)
     if shade:
         chunk_batch = 1  # the shade row select assumes one chunk per iter
+    if mxu:
+        chunk_batch = 1
+        top_batch = 1
     if not stream:
         assert 128 % b2 == 0, "VMEM mode assumes b2 | 128 (one block per top cluster)"
     if top_batch is None:
@@ -1162,7 +1307,7 @@ def _launch(
     tb = max(1, min(top_batch, b1)) if (b1 > 1 and not stream) else 1
     kernel = _make_kernel(
         b1, b2, k, n_spheres, num_tris, any_hit=any_hit, tile=tile, stream=stream,
-        chunk_batch=chunk_batch, shade=shade, top_batch=tb,
+        chunk_batch=chunk_batch, shade=shade, top_batch=tb, mxu=mxu,
     )
     child_spec = pl.BlockSpec(child.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     if stream:
@@ -1202,6 +1347,12 @@ def _launch(
         jax.ShapeDtypeStruct((1, n), jnp.int32),
     ]
     inputs = [rays, top, child, tri, sph]
+    if mxu:
+        # per-top recentering table rides after the coefficient planes
+        in_specs.insert(4, pl.BlockSpec(
+            mxu_centers.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        ))
+        inputs.insert(4, mxu_centers)
     if shade:
         # shade planes ride after tri; winner rows come back as (10, N)
         in_specs.insert(4, (
@@ -1242,7 +1393,7 @@ def _launch(
     return out_t, out_prim, out_bary, out_tests
 
 
-def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None, brute=None, return_shade=False, top_batch=None):
+def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any_hit=False, tile=None, chunk_batch=None, brute=None, return_shade=False, top_batch=None, mxu=False):
     """Closest-hit for (N, 3) rays. Returns (t, prim, b1, b2, hit, tests).
 
     N is padded internally to a tile multiple (``tile=None`` picks the
@@ -1266,6 +1417,9 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
     shade = bool(return_shade) and pscene.shade and not any_hit and not brute
     if return_shade and not shade:
         raise ValueError("return_shade requires pscene.shade and closest-hit")
+    if mxu:
+        if not (pscene.mxu and not any_hit and not brute and not shade):
+            raise ValueError("mxu requires PallasScene(mxu=True) and plain closest-hit")
     if tile is None:
         tile = _auto_tile(pscene.b1, pscene.stream, any_hit, brute)
     n = o.shape[0]
@@ -1279,7 +1433,7 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         rays,
         pscene.top,
         pscene.child,
-        pscene.tri_brute if brute else pscene.tri,
+        pscene.mxu_planes if mxu else (pscene.tri_brute if brute else pscene.tri),
         pscene.sph,
         b1=pscene.b1,
         b2=pscene.b2,
@@ -1297,6 +1451,8 @@ def intersect_pallas(pscene: PallasScene, o, d, t_lo, t_hi, interpret=False, any
         shade=shade,
         shade_arr=pscene.shade_planes if shade else None,
         top_batch=top_batch,
+        mxu=mxu,
+        mxu_centers=pscene.mxu_centers if mxu else None,
     )
     if shade:
         out_t, out_prim, out_bary, out_tests, out_shade = outs

@@ -477,3 +477,41 @@ def test_stream_shade_rows_match_vmem():
     np.testing.assert_array_equal(
         np.asarray(rs[6])[:, mask].T, shade_rows[prim[mask]]
     )
+
+
+def test_mxu_mt_coefficient_walk_parity():
+    """MXU Möller-Trumbore coefficient walk == classic walk (VERDICT r4 #2).
+
+    The mode exists as a measured experiment (tools/ab_mxu_mt.py): per-top
+    recentered affine coefficients + one (16,128)^T x (16,TILE) HIGHEST-
+    precision matmul per chunk.  On v5e it is 0.67-0.78x the classic VPU
+    chain (and only reaches ~1.0x even at numerically-unusable bf16), so it
+    stays off by default — but its correctness must not rot: identical hits
+    and prims, t within f32 cancellation tolerance.
+    """
+    from lens_flare_tpu.scene.procedural import make_terrain_scene
+
+    scene = make_terrain_scene(n_quads=64)
+    rng = np.random.default_rng(0)
+    n_rays = 1024
+    lo, hi = np.asarray(scene.bbox_min), np.asarray(scene.bbox_max)
+    o = jnp.asarray(rng.uniform(lo - 1, hi + 1, (n_rays, 3)), jnp.float32)
+    d = rng.normal(size=(n_rays, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    t_lo = jnp.full(n_rays, 1e-4, jnp.float32)
+    t_hi = jnp.full(n_rays, 1e30, jnp.float32)
+
+    wb = build_wide_bvh(scene.tri_p, 8, 32, 32)
+    ps = PallasScene(wb, scene.sph_center, scene.sph_radius, scene.num_triangles, mxu=True)
+    assert ps.mxu
+
+    base = intersect_pallas(ps, o, d, t_lo, t_hi, interpret=True)
+    mx = intersect_pallas(ps, o, d, t_lo, t_hi, interpret=True, mxu=True)
+    hb, hm = np.asarray(base[4]), np.asarray(mx[4])
+    assert hb.sum() > 200
+    np.testing.assert_array_equal(hb, hm)
+    np.testing.assert_array_equal(np.asarray(base[1])[hb], np.asarray(mx[1])[hb])
+    np.testing.assert_allclose(
+        np.asarray(base[0])[hb], np.asarray(mx[0])[hb], rtol=1e-3, atol=1e-5
+    )
