@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.intersect import SceneArrays, finalize_hit, intersect_rays, occluded_rays
 from ..scene.camera import CameraParams, generate_rays, generate_rays_thin_lens
@@ -85,6 +86,16 @@ class RenderSettings(NamedTuple):
     # sampler/BSDF families a scene can actually hit.
     light_types: tuple = None
     bsdf_families: tuple = None
+    # Shadow-ray Russian roulette (0 = off): DELTA-light NEE slots whose
+    # unoccluded contribution is dim relative to the wavefront are traced
+    # with probability p = clip(lum / (tau * wavefront_mean_lum), floor, 1)
+    # and weighted 1/p — unbiased, and the dropped lanes never launch
+    # shadow rays.  Delta slots only: their tape uniforms are unused by the
+    # light sampler, so one is free to drive the RR decision.  Motivated by
+    # the round-5 ablation (docs/PERFORMANCE.md): NEE shadow TRACES are
+    # 7.5 ms of the 23.9 ms flagship sample.
+    nee_rr_tau: float = 0.0
+    nee_rr_floor: float = 0.05
 
 
 def make_settings(
@@ -367,7 +378,7 @@ def _nee_active(bundle: SceneBundle, bsdf_id, hit_mask):
     return hit_mask & ((t == BSDF_DIFFUSE) | (t == BSDF_MICROFACET))
 
 
-def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p, n, w_out_w, bsdf_id, active=None, counted=None):
+def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p, n, w_out_w, bsdf_id, active=None, counted=None, frame=None):
     """NEE estimate at a batch of shading points (pathtracer.cpp:142-213).
 
     hit_p, n, w_out_w: (N, 3) world-space; bsdf_id: (N,); u_tape: (N, 2S)
@@ -380,8 +391,14 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
     traced as ONE widened shadow-ray wavefront of S*N rays so the BVH
     traversal loop appears once in the compiled program.
     """
-    o2w = make_coord_space(n)
-    w_out = world_to_local(o2w, w_out_w)
+    if frame is not None:
+        # vertex frame threaded from the caller (the bounce loop computes
+        # the same o2w/w_out for BSDF sampling — one make_coord_space +
+        # world_to_local per vertex instead of two)
+        o2w, w_out = frame
+    else:
+        o2w = make_coord_space(n)
+        w_out = world_to_local(o2w, w_out_w)
 
     if settings.direct_hemisphere_sample:
         return _direct_hemisphere(
@@ -445,6 +462,52 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
         skipped = jnp.sum(would_trace.astype(jnp.float32)) - jnp.sum(
             live.astype(jnp.float32)
         )
+    # unoccluded contribution FIRST (it is trace-independent): needed by the
+    # shadow-ray RR gate below, and no extra work — it was computed for
+    # every lane after the trace anyway
+    cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
+    w_out_b = jnp.broadcast_to(w_out, (n_slots, n_pts, 3)).reshape(-1, 3)
+    bsdf_b = jnp.broadcast_to(bsdf_id, (n_slots, n_pts)).reshape(-1)
+    f = eval_f(bundle.bsdfs, bsdf_b, -wi_obj, w_out_b, families=settings.bsdf_families)
+    contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
+
+    if settings.nee_rr_tau > 0 and settings.light_slot_types is not None:
+        from ..scene.build import LT_DIRECTIONAL, LT_POINT, LT_SPOT
+
+        delta_slots = np.array(
+            [t in (LT_DIRECTIONAL, LT_POINT, LT_SPOT) for t in settings.light_slot_types]
+        )
+        if delta_slots.any():
+            # unbiased shadow-ray RR: dim candidates trace with probability
+            # p = clip(lum / (tau * mean-lum-of-candidates), floor, 1) and
+            # are weighted 1/p.  p may depend on the other lanes' values
+            # (the reference mean) — the RR uniform is independent of all
+            # of them, so E[keep * contrib / p] = contrib exactly.
+            lum = (
+                0.2126 * contrib[:, 0]
+                + 0.7152 * contrib[:, 1]
+                + 0.0722 * contrib[:, 2]
+            )
+            cand = live & (lum > 0)
+            ref = jnp.sum(jnp.where(cand, lum, 0.0)) / jnp.maximum(
+                jnp.sum(cand.astype(jnp.float32)), 1.0
+            )
+            p = jnp.clip(
+                lum / jnp.maximum(settings.nee_rr_tau * ref, 1e-30),
+                settings.nee_rr_floor,
+                1.0,
+            )
+            # delta slots' tape uniforms are unused by their light sampler
+            u_rr = (
+                u_tape.reshape(n_pts, n_slots, 2)[:, :, 0].T.reshape(-1)
+            )  # (S*N,) slot-major, matching the widened layout
+            dmask = jnp.broadcast_to(
+                jnp.asarray(delta_slots)[:, None], (n_slots, n_pts)
+            ).reshape(-1)
+            roulette = dmask & cand
+            live = live & jnp.where(roulette, u_rr < p, True)
+            contrib = contrib * jnp.where(roulette, 1.0 / p, 1.0)[:, None]
+
     # relative shadow clip: area/mesh light sample points lie ON emitter
     # geometry, and the origin's normal offset (SHADOW_BIAS, up to ~1e-4)
     # shortens the hit t below the absolute dist - EPS_F clip — the light
@@ -457,11 +520,6 @@ def direct_lighting(bundle: SceneBundle, settings: RenderSettings, u_tape, hit_p
         jnp.full(n_slots * n_pts, EPS_F),
         jnp.where(live, ls.dist * (1.0 - 1e-3) - EPS_F, 0.0),
     )
-    cos_theta = wi_obj[:, 2] / jnp.maximum(jnp.linalg.norm(wi_obj, axis=-1), 1e-30)
-    w_out_b = jnp.broadcast_to(w_out, (n_slots, n_pts, 3)).reshape(-1, 3)
-    bsdf_b = jnp.broadcast_to(bsdf_id, (n_slots, n_pts)).reshape(-1)
-    f = eval_f(bundle.bsdfs, bsdf_b, -wi_obj, w_out_b, families=settings.bsdf_families)
-    contrib = f * ls.radiance * (cos_theta / jnp.maximum(ls.pdf, 1e-30))[:, None]
     use = live & jnp.logical_not(occ)
     contrib = jnp.where(use[:, None], contrib, 0.0)
     return (
@@ -570,16 +628,23 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     hit_p = o + d * jnp.where(hit.hit, hit.t, 0.0)[:, None]
     # zero bounce
     L = get_emission(bundle.bsdfs, hit.bsdf)
-    # camera-vertex direct
+    # camera-vertex direct; the vertex frame is shared with the first
+    # bounce's BSDF sampling (one make_coord_space per vertex, not two)
+    frame0 = make_coord_space(hit.n)
+    w_out0 = world_to_local(frame0, -d)
     Ld, st = direct_lighting(
         bundle, settings, tape[:, 4 : 4 + 2 * s], hit_p, hit.n, -d, hit.bsdf,
         active=_nee_active(bundle, hit.bsdf, hit.hit), counted=valid,
+        frame=(frame0, w_out0),
     )
     L = L + Ld
     stats = stats + st
 
     if settings.indirect and settings.max_ray_depth > 1:
-        Li, st = _indirect(bundle, settings, tape[:, 4 + 2 * s :], o, d, hit, valid=valid)
+        Li, st = _indirect(
+            bundle, settings, tape[:, 4 + 2 * s :], o, d, hit, valid=valid,
+            frame=(frame0, w_out0),
+        )
         L = L + Li
         stats = stats + st
 
@@ -587,30 +652,35 @@ def radiance_sample(bundle: SceneBundle, settings: RenderSettings, cam: CameraPa
     return L, stats
 
 
-def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit, valid=None):
+def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit, valid=None, frame=None):
     """Iterative form of at_least_one_bounce_radiance (pathtracer.cpp:234-280).
 
     Returns only the indirect part (bounces 2+); the caller already added the
     camera-vertex direct lighting.  tape: (N, (D-1)*(4+2S)) uniforms, one
     [rr 1 | bsdf 3 | NEE 2S] block per bounce, scanned as xs.
+    ``frame``: the camera vertex's (o2w, w_out), threaded through the scan so
+    each vertex's shading frame is built exactly once (NEE at vertex v and
+    BSDF sampling at v used to each build their own).
     """
     n_lanes = o.shape[0]
     n_bounces = settings.max_ray_depth - 1
     per_bounce = tape.shape[1] // n_bounces
     tape_b = tape.reshape(n_lanes, n_bounces, per_bounce).transpose(1, 0, 2)
 
+    if frame is None:
+        o2w0 = make_coord_space(hit.n)
+        frame = (o2w0, world_to_local(o2w0, -d))
+
     def bounce_body(carry, xs):
         bounce, u_b = xs  # u_b: (N, 4+2S)
-        cur_o, cur_d, cur_hit, throughput, active, L, stats = carry
+        cur_o, cur_d, cur_hit, o2w, w_out, throughput, active, L, stats = carry
         depth_remaining = settings.max_ray_depth - (bounce - 1)
 
         # RR continuation at the current vertex (pathtracer.cpp:254)
         rr = u_b[:, 0]
         cont = active & (depth_remaining > 1) & (rr >= (1.0 - CPDF))
 
-        # sample the BSDF at the current vertex
-        o2w = make_coord_space(cur_hit.n)
-        w_out = world_to_local(o2w, -cur_d)
+        # sample the BSDF at the current vertex (carried frame)
         bs = sample_f(
             bundle.bsdfs, cur_hit.bsdf, w_out, u_b[:, 1:4],
             families=settings.bsdf_families,
@@ -657,22 +727,26 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit, va
         emit = get_emission(bundle.bsdfs, nxt.bsdf)
         L = L + jnp.where((cont & delta_bounce)[:, None], throughput * emit, 0.0)
 
-        # direct lighting at the new vertex
+        # direct lighting at the new vertex (frame built once, carried into
+        # the next iteration's BSDF sampling)
         nxt_p = hit_p + wi_world * nxt.t[:, None]
+        o2w_n = make_coord_space(nxt.n)
+        w_out_n = world_to_local(o2w_n, -wi_world)
         Ld, st = direct_lighting(
             bundle, settings, u_b[:, 4:], nxt_p, nxt.n, -wi_world, nxt.bsdf,
             active=_nee_active(bundle, nxt.bsdf, cont), counted=valid,
+            frame=(o2w_n, w_out_n),
         )
         stats = stats + st
         L = L + jnp.where(cont[:, None], throughput * Ld, 0.0)
 
-        return (hit_p, wi_world, nxt, throughput, cont, L, stats), None
+        return (hit_p, wi_world, nxt, o2w_n, w_out_n, throughput, cont, L, stats), None
 
     init = (
-        o, d, hit, jnp.ones((n_lanes, 3)), hit.hit, jnp.zeros((n_lanes, 3)),
-        jnp.zeros(3),
+        o, d, hit, frame[0], frame[1], jnp.ones((n_lanes, 3)), hit.hit,
+        jnp.zeros((n_lanes, 3)), jnp.zeros(3),
     )
-    (_, _, _, _, _, L, stats), _ = jax.lax.scan(
+    (_, _, _, _, _, _, _, L, stats), _ = jax.lax.scan(
         bounce_body, init, (jnp.arange(1, settings.max_ray_depth), tape_b)
     )
     return L, stats

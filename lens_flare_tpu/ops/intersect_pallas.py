@@ -1027,7 +1027,7 @@ class PallasScene:
     # registered as a pytree (bottom of module) so a PallasScene can ride
     # inside jit-traced bundles; the cluster shape is static aux data
 
-    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None, shade_rows=None, interpret=False, mxu=False):
+    def __init__(self, wide_bvh, sph_center, sph_radius, num_tris, force_stream=None, force_brute=None, shade_rows=None, interpret=False, mxu=False, stream_shade=False):
         # interpret=True runs the kernels through the Pallas interpreter
         # (CPU tests of code paths that normally only exist on TPU, e.g.
         # the differentiable-render FD checks in tests/test_diff_render.py)
@@ -1110,13 +1110,22 @@ class PallasScene:
         # with its one-hot best mask.  VMEM-resident, CB == 1 scenes only
         # (exactly the multi-level >512-tri regime the gather hurts).
         shade_bytes = 10 * k * n_nodes * 4
+        # stream_shade: HBM-paged shade rows on a second DMA ring.  OPT-IN:
+        # it wins on dense incoherent wavefronts (bounce 37.0 -> 32.0 ms
+        # per 262k lanes at 524k tris) but LOSES on the real RR-thinned
+        # frame mix (terrain-1080p 1.228 -> 1.280 s measured end to end) —
+        # sparse wavefronts still pay the doubled page DMA per walked top
+        # while the gather they replace scales with live lanes.
         self.shade = bool(
             shade_rows is not None
             and not (b1 == 1)  # single-level scenes use CB=2 + one-hot lookup
             and num_tris > 512
             and (
-                self.stream  # HBM-paged shade rows ride their own DMA ring
-                or 9 * k * n_nodes * 4 + shade_bytes <= SHADE_THRESHOLD_BYTES
+                (self.stream and stream_shade)
+                or (
+                    not self.stream
+                    and 9 * k * n_nodes * 4 + shade_bytes <= SHADE_THRESHOLD_BYTES
+                )
             )
         )
         if self.shade:

@@ -292,7 +292,9 @@ class Renderer:
         """
         import os
 
-        tmp = str(path) + ".tmp"
+        # np.savez appends .npz when the name lacks it — keep the suffix on
+        # the temp name so the file lands where os.replace expects it
+        tmp = str(path) + ".tmp.npz"
         np.savez(tmp, **arrays)
         os.replace(tmp, path)
 

@@ -43,3 +43,18 @@ def pyramid_scene():
     from lens_flare_tpu.scene.build import load_scene
 
     return load_scene(REFERENCE / "dae" / "pyramid.dae")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The suite compiles several hundred distinct XLA programs in one
+    process; past ~130 the CPU backend segfaulted inside
+    backend_compile_and_load (observed twice at the same point, tests pass
+    in isolation — a compiler-resource failure, not a test bug).  Modules
+    rarely share jit shapes, so dropping the caches costs little and keeps
+    the peak footprint bounded.
+    """
+    yield
+    jax.clear_caches()

@@ -462,7 +462,7 @@ def test_stream_shade_rows_match_vmem():
     )
     ps_s = PallasScene(
         wb, scene.sph_center, scene.sph_radius, n_t,
-        shade_rows=shade_rows, force_stream=True,
+        shade_rows=shade_rows, force_stream=True, stream_shade=True,
     )
     assert ps_v.shade and ps_s.shade and ps_s.stream
 

@@ -49,7 +49,8 @@ def main():
     )
     ps_gather = PallasScene(wb, scene.sph_center, scene.sph_radius, n_t)
     ps_shade = PallasScene(
-        wb, scene.sph_center, scene.sph_radius, n_t, shade_rows=shade_rows
+        wb, scene.sph_center, scene.sph_radius, n_t, shade_rows=shade_rows,
+        stream_shade=True,
     )
     print(f"tris={n_t} stream={ps_shade.stream} shade={ps_shade.shade}")
     assert ps_shade.stream and ps_shade.shade and not ps_gather.shade
