@@ -155,3 +155,52 @@ def test_reference_binary_sun_position(cameras, tmp_path):
             assert abs(gx - nsx) < 1e-4 and abs(gy - nsy) < 1e-4
             return
     pytest.fail("reference did not print sun screen coords")
+
+
+def test_reference_binary_hemisphere_estimator(cameras, tmp_path):
+    """Second golden config: the -H uniform-hemisphere direct estimator.
+
+    Exercises the OTHER direct-lighting branch of the reference
+    (estimate_direct_lighting_hemisphere, pathtracer.cpp:86-140) end to
+    end against our ``direct_hemisphere_sample`` path.  Note a sunless
+    scene cannot serve as a flare-free golden: the binary segfaults on ANY
+    scene without an on-screen sun (raytrace_starburst runs
+    unconditionally per pixel and indexes flare_origins[0] — verified on
+    CBspheres_lambertian), so this stays on the pyramid camera with the
+    flare identical on both sides.
+    """
+    from PIL import Image
+
+    from lens_flare_tpu.renderer import Renderer
+
+    cam_ours, cam_ref, _ = cameras
+    ref_png = tmp_path / "ref_h.png"
+    ours_png = tmp_path / "ours_h.png"
+    (tmp_path / "frames").mkdir(exist_ok=True)
+    subprocess.run(
+        [
+            REF_BIN, "-t", "8", "-s", "128", "-l", "8", "-m", "1", "-H",
+            "-r", str(W), str(H), "-f", str(ref_png),
+            "-x", APERTURE, "-y", APERTURE, "-i", "1", "-n", "25",
+            "-c", cam_ref, SCENE,
+        ],
+        cwd=tmp_path, check=True, capture_output=True, timeout=600,
+    )
+    r = Renderer(
+        width=W, height=H, ns_aa=128, max_ray_depth=1, ns_area_light=8,
+        samples_per_batch=128, max_tolerance=0.0, indirect=False,
+        direct_hemisphere_sample=True,
+        aperture_path=APERTURE, ghost_aperture_path=APERTURE,
+        flare_intensity=1.0, flare_radius=25.0, camera_settings=cam_ours,
+    )
+    r.load(SCENE)
+    r.render_to_file(str(ours_png))
+
+    a = np.asarray(Image.open(ref_png).convert("RGB"), np.float32)
+    b = np.asarray(Image.open(ours_png).convert("RGB"), np.float32)
+    d = np.abs(a - b)
+    # hemisphere sampling only sees AREA emitters (delta lights have zero
+    # measure), so the image is mostly flare + emission — still a real
+    # cross-check of the -H branch's normalization and masking
+    assert d.mean() < 8.0, f"mean abs diff {d.mean():.2f}/255"
+    assert np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))).max() < 4.0

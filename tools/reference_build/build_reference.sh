@@ -19,9 +19,11 @@
 # bringing this up; see tests/test_reference_binary.py):
 #   - running WITHOUT -x/-y segfaults: resolve_path("") passes realpath's
 #     NULL return to std::string (CGL/src/path.cpp:16)
-#   - rendering a scene whose sun is OFF-SCREEN segfaults: raytrace_starburst
-#     indexes flare_origins[0] unconditionally (pathtracer.cpp:918) while
-#     find_sun_pos only fills it for on-screen suns (pathtracer.cpp:41)
+#   - rendering a scene whose sun is OFF-SCREEN — or which has NO
+#     directional light at all (verified on CBspheres_lambertian) —
+#     segfaults: raytrace_starburst indexes flare_origins[0]
+#     unconditionally per pixel (pathtracer.cpp:918) while find_sun_pos
+#     only fills it for on-screen suns (pathtracer.cpp:41)
 #   - CameraApertureTexture::init reads 4 bytes from a 1-byte stack variable
 #     (camera.h:60, Color(&curr_texel)) — benign garbage in the g,b,a
 #     channels, only .r is used
