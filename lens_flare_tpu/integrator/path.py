@@ -96,6 +96,14 @@ class RenderSettings(NamedTuple):
     # 7.5 ms of the 23.9 ms flagship sample.
     nee_rr_tau: float = 0.0
     nee_rr_floor: float = 0.05
+    # Pack live lanes to the front of bounce wavefronts (stable argsort on
+    # the alive mask) before tracing, so RR-terminated / missed lanes
+    # concentrate into whole-dead TILES the kernels exit immediately.
+    # Worth it only where a trace costs much more than the ~6 ms
+    # sort+gather round trip per 262k lanes — i.e. HBM-streamed scenes
+    # (the Renderer enables it for those); pyramid-class traces are
+    # themselves ~2 ms.
+    compact_bounces: bool = False
 
 
 def make_settings(
@@ -694,13 +702,23 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit, va
         hit_p = cur_o + cur_d * safe_t[:, None]
         # dead lanes (RR-terminated / invalid sample) get t_hi = 0 so they
         # never activate clusters in the packet kernel
-        nxt, st = trace_closest(
-            bundle,
-            _offset_origin(hit_p, cur_hit.n, wi_world),
-            wi_world,
-            jnp.full(n_lanes, EPS_F),
-            jnp.where(cont, 1e30, 0.0),
-        )
+        b_o = _offset_origin(hit_p, cur_hit.n, wi_world)
+        b_hi = jnp.where(cont, 1e30, 0.0)
+        if settings.compact_bounces:
+            # pack live lanes first: dead lanes collapse into whole-dead
+            # tiles the kernel skips.  The permutation is undone on the hit
+            # so everything downstream stays in lane order.
+            order = jnp.argsort(jnp.logical_not(cont), stable=True)
+            inv = jnp.argsort(order, stable=True)
+            nxt_s, st = trace_closest(
+                bundle, b_o[order], wi_world[order],
+                jnp.full(n_lanes, EPS_F), b_hi[order],
+            )
+            nxt = jax.tree_util.tree_map(lambda x: x[inv], nxt_s)
+        else:
+            nxt, st = trace_closest(
+                bundle, b_o, wi_world, jnp.full(n_lanes, EPS_F), b_hi
+            )
         stats = stats + st
         cont = cont & nxt.hit
 
