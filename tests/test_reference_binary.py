@@ -204,3 +204,71 @@ def test_reference_binary_hemisphere_estimator(cameras, tmp_path):
     # cross-check of the -H branch's normalization and masking
     assert d.mean() < 8.0, f"mean abs diff {d.mean():.2f}/255"
     assert np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))).max() < 4.0
+
+
+def test_reference_binary_teapot_mesh(tmp_path):
+    """Third golden config: a real polymesh (teapot, 2464 tris).
+
+    Exercises halfedge-equivalent vertex normals + barycentric normal
+    interpolation parity against the binary (pyramid's geometry is mostly
+    flat-shaded; this one is curved).  Camera blends 20% toward the sun so
+    the flare path stays alive (binary requirement) while the mesh fills
+    ~16% of the frame.
+    """
+    from PIL import Image
+
+    from lens_flare_tpu.renderer import Renderer
+    from lens_flare_tpu.scene.build import load_scene
+    from lens_flare_tpu.scene.camera import (
+        Camera,
+        place_from_scene_info,
+        project_world_to_screen,
+    )
+
+    scene_path = "/root/reference/dae/meshedit/teapot.dae"
+    scene, info = load_scene(scene_path)
+    cam = Camera()
+    cam.configure(info.camera, W, H)
+    place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+    sun = np.asarray(scene.lights.position[-1], np.float64)
+    centre = (np.asarray(scene.bbox_min) + np.asarray(scene.bbox_max)) / 2.0
+    aim = 0.2 * sun / np.linalg.norm(sun) * np.linalg.norm(centre - cam.pos) + 0.8 * centre
+    d2c = cam.pos - aim
+    d2c /= np.linalg.norm(d2c)
+    sx = np.cross([0.0, 1.0, 0.0], d2c)
+    sx /= np.linalg.norm(sx)
+    cam.c2w = np.stack([sx, np.cross(d2c, sx), d2c], axis=1)
+    nsx, nsy = project_world_to_screen(cam.params(np.float64), sun)
+    assert 0.05 < float(nsx) < 0.95 and 0.05 < float(nsy) < 0.95
+    cam_ours = tmp_path / "cam_ours.txt"
+    cam.dump_settings(cam_ours)
+    cam.pos, cam.target_pos, cam.c2w = M_UP @ cam.pos, M_UP @ cam.target_pos, M_UP @ cam.c2w
+    cam_ref = tmp_path / "cam_ref.txt"
+    cam.dump_settings(cam_ref)
+
+    ref_png = tmp_path / "ref_tp.png"
+    ours_png = tmp_path / "ours_tp.png"
+    (tmp_path / "frames").mkdir(exist_ok=True)
+    subprocess.run(
+        [
+            REF_BIN, "-t", "8", "-s", str(SPP), "-l", "4", "-m", "1",
+            "-r", str(W), str(H), "-f", str(ref_png),
+            "-x", APERTURE, "-y", APERTURE, "-i", "1", "-n", "25",
+            "-c", str(cam_ref), scene_path,
+        ],
+        cwd=tmp_path, check=True, capture_output=True, timeout=300,
+    )
+    r = Renderer(
+        width=W, height=H, ns_aa=SPP, max_ray_depth=1, ns_area_light=4,
+        samples_per_batch=SPP, max_tolerance=0.0, indirect=False,
+        aperture_path=APERTURE, ghost_aperture_path=APERTURE,
+        flare_intensity=1.0, flare_radius=25.0, camera_settings=str(cam_ours),
+    )
+    r.load(scene_path)
+    r.render_to_file(str(ours_png))
+
+    a = np.asarray(Image.open(ref_png).convert("RGB"), np.float32)
+    b = np.asarray(Image.open(ours_png).convert("RGB"), np.float32)
+    d = np.abs(a - b)
+    assert d.mean() < 6.0, f"mean abs diff {d.mean():.2f}/255"
+    assert np.percentile(d, 99) < 60.0
