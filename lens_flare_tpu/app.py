@@ -45,6 +45,10 @@ class Mode(Enum):
     RENDER = 2
 
 
+class _EditRejected(Exception):
+    """A mesh-edit operation's manifoldness guard declined the edit."""
+
+
 # key codes for special keys (GLFW arrow keys in the reference)
 KEY_UP, KEY_DOWN, KEY_LEFT, KEY_RIGHT = "UP", "DOWN", "LEFT", "RIGHT"
 LEFT, RIGHT, MIDDLE = 0, 1, 2
@@ -185,8 +189,22 @@ class Application:
                 self.start_visualizing()
             elif key == " ":
                 self.reset_camera()
-            # mesh-edit keys (u/d/i/f/s/c) were unimplemented stubs in the
-            # reference (meshEdit.cpp:6-106); accepted and ignored here
+            # mesh-edit keys (application.cpp:515-536): the reference wires
+            # u/d/i to MeshResampler and f/s/c to the halfedge local ops on
+            # the selected element — all six were TODO stubs
+            # (meshEdit.cpp:6-106), implemented for real in scene/halfedge.py
+            elif key in ("u", "U"):
+                self._edit_mesh(lambda m: m.upsample(), "upsampled")
+            elif key in ("d", "D"):
+                self._edit_mesh(lambda m: m.downsample(), "downsampled")
+            elif key in ("i", "I"):
+                self._edit_mesh(lambda m: m.resample(), "resampled")
+            elif key in ("f", "F"):
+                self._edit_selected_edge("flip_edge", "flipped edge")
+            elif key in ("s", "S"):
+                self._edit_selected_edge("split_edge", "split edge")
+            elif key in ("c", "C"):
+                self._edit_selected_edge("collapse_edge", "collapsed edge")
 
     def _renderer_key_press(self, key: str) -> None:
         """RaytracedRenderer::key_press (raytraced_renderer.cpp:537-616)."""
@@ -385,6 +403,88 @@ class Application:
         if self.mode == Mode.VISUALIZE:
             return self._visualize_frame()
         return self._render_frame()
+
+    # -- EDIT: mesh-edit operations (application.cpp:515-536) -----------
+    #
+    # The reference edits the mesh under the mouse-selected element; this
+    # headless application keeps an explicit selection instead:
+    # ``selected_mesh`` (index into the scene's contiguous same-BSDF
+    # triangle runs — build_scene concatenates one run per mesh) and
+    # ``selected_edge`` (edge id on the welded halfedge mesh, settable by
+    # tests/tools; defaults to 0 like a fresh click).
+
+    selected_mesh: int = 0
+    selected_edge: int = 0
+
+    def _mesh_ranges(self):
+        b = np.asarray(self.renderer.scene.tri_bsdf)
+        if len(b) == 0:
+            return []
+        cuts = np.flatnonzero(np.diff(b)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(b)]])
+        return list(zip(starts, ends))
+
+    def _edit_mesh(self, op, what):
+        """Apply ``op(HalfedgeMesh)`` to the selected mesh and rebuild."""
+        from .scene.build import vertex_normals
+        from .scene.halfedge import HalfedgeMesh, weld
+
+        ranges = self._mesh_ranges()
+        if not ranges:
+            self._msg("[MeshEdit] no mesh to edit")
+            return
+        lo, hi = ranges[self.selected_mesh % len(ranges)]
+        scene = self.renderer.scene
+        pos, faces = weld(np.asarray(scene.tri_p[lo:hi], np.float64))
+        mesh = HalfedgeMesh(pos, faces)
+        try:
+            op(mesh)
+        except AssertionError:
+            self._msg(f"[MeshEdit] {what}: rejected (non-manifold input)")
+            return
+        pos2, faces2 = mesh.to_arrays()
+        if len(faces2) == 0:
+            self._msg(f"[MeshEdit] {what}: would empty the mesh; ignored")
+            return
+        n2 = vertex_normals(pos2, faces2)
+        bsdf_id = int(scene.tri_bsdf[lo])
+        tri_p = np.concatenate([
+            scene.tri_p[:lo], pos2[faces2].astype(np.float32), scene.tri_p[hi:]])
+        tri_n = np.concatenate([
+            scene.tri_n[:lo], n2[faces2].astype(np.float32), scene.tri_n[hi:]])
+        tri_b = np.concatenate([
+            scene.tri_bsdf[:lo],
+            np.full(len(faces2), bsdf_id, np.int32),
+            scene.tri_bsdf[hi:]])
+        import dataclasses
+
+        scene2 = dataclasses.replace(
+            scene, tri_p=tri_p, tri_n=tri_n, tri_bsdf=tri_b)
+        plo, phi = scene2.primitive_bboxes()
+        if len(plo):
+            scene2.bbox_min = plo.min(axis=0).astype(np.float64)
+            scene2.bbox_max = phi.max(axis=0).astype(np.float64)
+        self.renderer.load_flat_scene(scene2, camera=self.renderer.camera)
+        self._preview_cache = None
+        self._bvh = None
+        self.selection_history = [0]
+        self._msg(f"[MeshEdit] {what}: mesh {self.selected_mesh} -> "
+                  f"{len(faces2)} tris ({len(tri_b)} total)")
+
+    def _edit_selected_edge(self, op_name, what):
+        def op(mesh):
+            n_edges = len(mesh.e_alive)
+            e = self.selected_edge % max(n_edges, 1)
+            if not mesh.e_alive[e]:
+                e = next(i for i in range(n_edges) if mesh.e_alive[i])
+            if getattr(mesh, op_name)(e) is None:
+                raise _EditRejected
+        try:
+            self._edit_mesh(op, what)
+        except _EditRejected:
+            self._msg(f"[MeshEdit] {what}: rejected "
+                      "(boundary or manifoldness guard)")
 
     # -- EDIT ----------------------------------------------------------
 

@@ -208,3 +208,49 @@ def test_save_image(app_factory, tmp_path):
     app.frame()
     path = app.keyboard_event("s") or (tmp_path / "shot.png")
     assert (tmp_path / "shot.png").exists()
+
+
+def test_mesh_edit_keys(app_factory):
+    """EDIT-mode u/d/i/f/s/c (application.cpp:515-536) actually edit the
+    selected mesh — the reference declared these but left every operation
+    a TODO stub (meshEdit.cpp:6-106)."""
+    app = app_factory()
+    assert app.mode == Mode.EDIT
+    r = app.renderer
+    t0 = r.scene.num_triangles
+
+    # upsample: the selected mesh's triangle count quadruples
+    ranges = app._mesh_ranges()
+    lo, hi = ranges[0]
+    app.keyboard_event("u")
+    assert r.scene.num_triangles == t0 + 3 * (hi - lo)
+    # the renderer was rebuilt: preview + BVH caches invalidated, and a
+    # subsequent offline render still works on the edited scene
+    assert app._preview_cache is None
+    frame = app.frame()
+    assert np.isfinite(frame).all()
+
+    # split on the upsampled mesh: +2 faces (interior) or +1 (boundary)
+    t1 = r.scene.num_triangles
+    app.keyboard_event("s")
+    assert r.scene.num_triangles in (t1 + 1, t1 + 2)
+
+    # flip: face count unchanged (may be a rejected no-op on boundary)
+    t2 = r.scene.num_triangles
+    app.keyboard_event("f")
+    assert r.scene.num_triangles == t2
+
+    # collapse: -2 faces when accepted, unchanged when guarded
+    app.keyboard_event("c")
+    assert r.scene.num_triangles in (t2, t2 - 2)
+
+    # downsample: triangle count drops to ~quarter of the selected mesh
+    t3 = r.scene.num_triangles
+    app.keyboard_event("d")
+    assert r.scene.num_triangles < t3
+
+    # isotropic resample keeps a valid renderable mesh
+    app.keyboard_event("i")
+    assert r.scene.num_triangles >= 4
+    frame = app.frame()
+    assert np.isfinite(frame).all()
