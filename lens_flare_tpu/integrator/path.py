@@ -104,6 +104,20 @@ class RenderSettings(NamedTuple):
     # (the Renderer enables it for those); pyramid-class traces are
     # themselves ~2 ms.
     compact_bounces: bool = False
+    # Spatial bounce-wavefront reordering (round-5, tools/ab_ray_sort.py):
+    # sort bounce rays by a Morton code of their ORIGIN (dead lanes keyed
+    # last, subsuming compact_bounces) before the trace, undo after.
+    # Measured 1.39-1.48x on HBM-streamed bounce traces whose lanes arrive
+    # in raw row-major film order (a 512-lane tile = one full image row,
+    # origins crossing the scene: 128 of 256 active tops/tile -> 83 after
+    # Morton 2-D blocking, argsort round trip included) — but the PRODUCT
+    # feeds wavefronts in 32x32 pixel blocks, which already deliver that
+    # origin coherence, and on the real terrain-1080p frame the sort is a
+    # pure overhead: 1.233 -> 1.394 s.  REFUTED as a default; kept as a
+    # tested mechanism for callers with unblocked wavefronts.
+    sort_bounces: bool = False
+    # static scene bbox ((lo,lo,lo),(hi,hi,hi)) for Morton quantization
+    sort_bbox: tuple = None
 
 
 def make_settings(
@@ -291,11 +305,38 @@ def trace_closest(bundle: SceneBundle, o, d, t_lo, t_hi, coherent=False):
     return _orient_normals(bundle, d, hit), _trace_stats(t_hi, tests)
 
 
-# NOTE on ray sorting (measured on v5e, tools/profile_breakdown.py): sorting
-# bounce wavefronts by quantized direction+origin was tried and LOSES with
-# the fine K=32 leaves — the raw wavefront keeps the blocked-pixel ORIGIN
-# coherence, which drives cluster activation more than direction coherence
-# does; the global sort scatters origins and slowed the kernel 10-50%.
+# NOTE on ray sorting (measured on v5e): sorting bounce wavefronts by
+# quantized DIRECTION+origin was tried in round 3 and LOSES 10-50% — the
+# direction-primary key scatters origins, which drive cluster activation.
+# Round 5 (tools/ab_ray_sort.py) found the only key that wins is
+# ORIGIN-Morton — and only against ROW-MAJOR lane order (a 512-lane tile =
+# one full image row whose origins cross the scene; Morton 2-D blocking
+# drops active tops/tile 128 -> 83, 1.39-1.48x on HBM-streamed bounce
+# traces, sort overhead included).  The production Renderer already feeds
+# 32x32 pixel BLOCKS, whose origins are just as coherent: the frame-level
+# A/B on terrain-1080p measured the sort as pure overhead (1.233 ->
+# 1.394 s), so it stays off by default.  See RenderSettings.sort_bounces.
+
+
+def _part1by2(x):
+    """Spread 7 bits of x to every third bit (Morton interleave helper)."""
+    x = x & 0x7F
+    x = (x | (x << 8)) & 0x0700F00F
+    x = (x | (x << 4)) & 0x430C30C3
+    x = (x | (x << 2)) & 0x49249249
+    return x
+
+
+def _bounce_sort_key(o, alive, bbox):
+    """21-bit Morton code of the quantized ray origin; dead lanes last."""
+    lo = jnp.asarray(bbox[0], jnp.float32)
+    span = jnp.maximum(jnp.asarray(bbox[1], jnp.float32) - lo, 1e-9)
+    q = jnp.clip((o - lo) / span, 0.0, 0.9999)
+    q = (q * 128.0).astype(jnp.int32)
+    morton = (
+        _part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1) | (_part1by2(q[:, 2]) << 2)
+    )
+    return morton + jnp.where(alive, 0, 1 << 21)
 
 
 def _orient_normals(bundle: SceneBundle, d, hit):
@@ -704,7 +745,22 @@ def _indirect(bundle: SceneBundle, settings: RenderSettings, tape, o, d, hit, va
         # never activate clusters in the packet kernel
         b_o = _offset_origin(hit_p, cur_hit.n, wi_world)
         b_hi = jnp.where(cont, 1e30, 0.0)
-        if settings.compact_bounces:
+        if settings.sort_bounces and settings.sort_bbox is not None:
+            # spatial reordering: Morton-of-origin key, dead lanes last
+            # (see the RenderSettings.sort_bounces comment for the measured
+            # rationale).  Results are bit-identical to the unsorted trace
+            # — the per-lane intersection math is invariant to tile
+            # grouping — so every golden/sharding test still holds.
+            order = jnp.argsort(_bounce_sort_key(b_o, cont, settings.sort_bbox))
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(n_lanes, dtype=order.dtype)
+            )
+            nxt_s, st = trace_closest(
+                bundle, b_o[order], wi_world[order],
+                jnp.full(n_lanes, EPS_F), b_hi[order],
+            )
+            nxt = jax.tree_util.tree_map(lambda x: x[inv], nxt_s)
+        elif settings.compact_bounces:
             # pack live lanes first: dead lanes collapse into whole-dead
             # tiles the kernel skips.  The permutation is undone on the hit
             # so everything downstream stays in lane order.

@@ -232,6 +232,13 @@ class Renderer:
         (RaytracedRenderer::key_press semantics) without re-building the
         scene or BVH.
         """
+        # Morton-origin bounce sorting stays OFF here: the Renderer feeds
+        # wavefronts in 32x32 pixel blocks whose origins are already
+        # coherent, and the frame-level A/B measured the sort as pure
+        # overhead (terrain-1080p 1.233 -> 1.394 s; tools/ab_ray_sort.py,
+        # docs/PERFORMANCE.md round-5).  The mechanism wins 1.39-1.48x only
+        # against row-major-ordered wavefronts and is kept available via
+        # RenderSettings.sort_bounces for callers with unblocked lanes.
         self.settings = make_settings(
             self._light_table,
             bsdf_table=self.scene.bsdfs,

@@ -206,3 +206,55 @@ def test_compact_bounces_bitequal(dae_dir):
         return np.asarray(rad)
 
     np.testing.assert_array_equal(render(False), render(True))
+
+
+def test_sort_bounces_bitequal(dae_dir):
+    """Morton-origin bounce sorting (round-5: 1.39-1.48x on HBM-streamed
+    traces, tools/ab_ray_sort.py) is a pure reordering around the trace:
+    renders with sort_bounces on/off must agree to the bit."""
+    import jax
+
+    from lens_flare_tpu.accel import build_bvh
+    from lens_flare_tpu.integrator.lights import lights_to_device
+    from lens_flare_tpu.integrator.path import (
+        SceneBundle,
+        make_settings,
+        render_wavefront,
+    )
+    from lens_flare_tpu.integrator.shading import bsdf_to_device
+    from lens_flare_tpu.ops import scene_to_device
+    from lens_flare_tpu.scene.build import load_scene
+    from lens_flare_tpu.scene.camera import Camera, place_from_scene_info
+
+    scene, info = load_scene(dae_dir / "pyramid.dae")
+    lo, hi = scene.primitive_bboxes()
+    bundle = SceneBundle(
+        scene=scene_to_device(scene, build_bvh(lo, hi)),
+        bsdfs=bsdf_to_device(scene.bsdfs),
+        lights=lights_to_device(scene.lights),
+        env=None,
+    )
+    W = H = 12
+    cam = Camera()
+    cam.configure(info.camera, W, H)
+    place_from_scene_info(cam, info, scene.bbox_min, scene.bbox_max)
+    ys, xs = np.mgrid[0:H, 0:W]
+    px, py = jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel())
+    key = jax.random.PRNGKey(7)
+    bbox = (
+        tuple(float(v) for v in scene.bbox_min),
+        tuple(float(v) for v in scene.bbox_max),
+    )
+
+    def render(sort):
+        s = make_settings(
+            scene.lights, ns_aa=4, max_ray_depth=3, ns_area_light=1,
+            bsdf_table=scene.bsdfs, samples_per_batch=4, max_tolerance=0.0,
+            sort_bounces=sort, sort_bbox=bbox if sort else None,
+        )
+        rad, _, _ = jax.jit(
+            lambda: render_wavefront(bundle, s, cam.params(), px, py, W, H, key)
+        )()
+        return np.asarray(rad)
+
+    np.testing.assert_array_equal(render(False), render(True))
