@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
         "full sequential Snell+Fresnel lens-stack trace (BASELINE config 3)",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--upsample", type=int, default=0, metavar="N",
+        help="Loop-subdivide every scene mesh N levels before rendering "
+        "(the reference's EDIT-mode 'u' key, offline)",
+    )
     p.add_argument("--devices", type=int, default=0, help="shard the render over the first N devices (0 = all available)")
     p.add_argument(
         "--trace",
@@ -110,6 +115,17 @@ def main(argv=None) -> int:
     )
     print(f"[PathTracer] Loading scene {args.scene}")
     r.load(args.scene)
+    if args.upsample > 0:
+        from .scene.halfedge import subdivide_scene
+
+        t0 = r.scene.num_triangles
+        r.load_flat_scene(
+            subdivide_scene(r.scene, args.upsample), camera=r.camera
+        )
+        print(
+            f"[PathTracer] Loop-subdivided x{args.upsample}: "
+            f"{t0} -> {r.scene.num_triangles} triangles"
+        )
     if args.view:
         # interactive mode reuses the fully-configured, already-loaded
         # renderer (every CLI flag applies: envmap, adaptive, flare, ...)

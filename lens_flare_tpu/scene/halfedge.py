@@ -741,3 +741,42 @@ def weld(tri_p, tol=1e-7):
     keep = ~((faces[:, 0] == faces[:, 1]) | (faces[:, 1] == faces[:, 2])
              | (faces[:, 0] == faces[:, 2]))
     return positions, faces[keep]
+
+
+def subdivide_scene(scene, levels=1):
+    """Loop-subdivide every mesh of a FlatScene (offline ``--upsample``).
+
+    Meshes are the scene's contiguous same-BSDF triangle runs (build_scene
+    concatenates one run per mesh); each is welded, subdivided with the
+    vectorized array path, and re-flattened with fresh area-weighted
+    vertex normals.  Spheres/lights/materials are untouched.
+    """
+    import dataclasses
+
+    from .build import vertex_normals
+
+    b = np.asarray(scene.tri_bsdf)
+    if len(b) == 0 or levels <= 0:
+        return scene
+    cuts = np.flatnonzero(np.diff(b)) + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [len(b)]])
+    tri_p, tri_n, tri_b = [], [], []
+    for lo, hi in zip(starts, ends):
+        pos, faces = weld(np.asarray(scene.tri_p[lo:hi], np.float64))
+        pos, faces = loop_subdivide(pos, faces, levels=levels)
+        n = vertex_normals(pos, faces)
+        tri_p.append(pos[faces].astype(np.float32))
+        tri_n.append(n[faces].astype(np.float32))
+        tri_b.append(np.full(len(faces), b[lo], np.int32))
+    out = dataclasses.replace(
+        scene,
+        tri_p=np.concatenate(tri_p),
+        tri_n=np.concatenate(tri_n),
+        tri_bsdf=np.concatenate(tri_b),
+    )
+    plo, phi = out.primitive_bboxes()
+    if len(plo):
+        out.bbox_min = plo.min(axis=0).astype(np.float64)
+        out.bbox_max = phi.max(axis=0).astype(np.float64)
+    return out

@@ -287,3 +287,32 @@ def test_weld_roundtrip():
     bad[-1] = bad[-1][0]  # all three corners identical
     pos2, f2 = weld(bad)
     assert len(f2) == 20
+
+
+def test_subdivide_scene_and_cli(tmp_path):
+    """--upsample: Loop subdivision of every scene mesh on the offline path."""
+    import jax
+
+    from lens_flare_tpu.cli import main
+    from lens_flare_tpu.renderer import Renderer
+    from lens_flare_tpu.scene.build import load_scene
+    from lens_flare_tpu.scene.halfedge import subdivide_scene
+
+    dae = "/root/reference/dae/pyramid.dae"
+    scene, _ = load_scene(dae)
+    t0 = scene.num_triangles
+    s2 = subdivide_scene(scene, 1)
+    assert s2.num_triangles == 4 * t0
+    # geometry stays inside the original bounds (Loop is contractive)
+    assert (s2.bbox_min >= scene.bbox_min - 1e-4).all()
+    assert (s2.bbox_max <= scene.bbox_max + 1e-4).all()
+    # normals are unit
+    nn = np.linalg.norm(s2.tri_n.reshape(-1, 3), axis=1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-4)
+
+    out = tmp_path / "up.png"
+    rc = main([
+        "-s", "1", "-m", "1", "-r", "24", "18", "--upsample", "1",
+        "-f", str(out), dae,
+    ])
+    assert rc == 0 and out.exists()
