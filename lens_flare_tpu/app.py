@@ -437,10 +437,15 @@ class Application:
         lo, hi = ranges[self.selected_mesh % len(ranges)]
         scene = self.renderer.scene
         pos, faces = weld(np.asarray(scene.tri_p[lo:hi], np.float64))
-        mesh = HalfedgeMesh(pos, faces)
         try:
+            mesh = HalfedgeMesh(pos, faces)
             op(mesh)
-        except AssertionError:
+        except _EditRejected:
+            raise
+        except (ValueError, AssertionError, KeyError, IndexError, StopIteration):
+            # non-manifold soup (duplicated/inverted faces) can't build a
+            # halfedge structure or survive the op; a keypress must not
+            # crash the viewer
             self._msg(f"[MeshEdit] {what}: rejected (non-manifold input)")
             return
         pos2, faces2 = mesh.to_arrays()

@@ -57,17 +57,24 @@ class HalfedgeMesh:
         h_next = f_idx * 3 + (c_idx + 1) % 3
         h_dst = faces[f_idx, (c_idx + 1) % 3]
 
-        # twin pairing on the undirected (min, max) vertex pair
+        # twin pairing on the undirected (min, max) vertex pair; an edge
+        # shared by >2 faces is non-manifold soup the halfedge structure
+        # cannot represent — reject it up front instead of building a
+        # silently-broken connectivity
         pair = {}
+        done = set()
         h_twin = np.full(H, -1, np.int64)
         for h in range(H):
             key = (min(h_vert[h], h_dst[h]), max(h_vert[h], h_dst[h]))
             other = pair.pop(key, None)
             if other is None:
+                if key in done:
+                    raise ValueError(f"non-manifold edge {key}: >2 faces")
                 pair[key] = h
             else:
                 h_twin[h] = other
                 h_twin[other] = h
+                done.add(key)
 
         self.pos = positions.copy()
         self.h_vert = list(h_vert)
@@ -81,6 +88,10 @@ class HalfedgeMesh:
         unpaired = [h for h in range(H) if self.h_twin[h] == -1]
         b_of_src = {}
         for h in unpaired:
+            if int(h_dst[h]) in b_of_src:
+                # two boundary halfedges leaving one vertex: pinched
+                # ("bow-tie") non-manifold vertex
+                raise ValueError(f"non-manifold boundary vertex {h_dst[h]}")
             b = len(self.h_vert)
             self.h_vert.append(int(h_dst[h]))
             self.h_next.append(-1)

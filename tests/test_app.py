@@ -254,3 +254,26 @@ def test_mesh_edit_keys(app_factory):
     assert r.scene.num_triangles >= 4
     frame = app.frame()
     assert np.isfinite(frame).all()
+
+
+def test_mesh_edit_nonmanifold_rejected(app_factory):
+    """A mesh-edit keypress on non-manifold soup must not crash the app."""
+    import dataclasses
+
+    app = app_factory()
+    r = app.renderer
+    scene = r.scene
+    # corrupt mesh 0 into non-manifold soup: duplicate its first triangle
+    # (three faces sharing an edge with the same orientation)
+    tri_p = np.concatenate([scene.tri_p[:1], scene.tri_p])
+    tri_n = np.concatenate([scene.tri_n[:1], scene.tri_n])
+    tri_b = np.concatenate([scene.tri_bsdf[:1], scene.tri_bsdf])
+    r.load_flat_scene(
+        dataclasses.replace(scene, tri_p=tri_p, tri_n=tri_n, tri_bsdf=tri_b),
+        camera=r.camera,
+    )
+    t0 = r.scene.num_triangles
+    app.keyboard_event("u")  # rejected, not crashed
+    assert r.scene.num_triangles == t0
+    app.keyboard_event("f")
+    assert r.scene.num_triangles == t0
